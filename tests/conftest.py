@@ -1,0 +1,25 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; JAX runs identical XLA
+programs on CPU, so sharding/pjit paths are validated on
+`--xla_force_host_platform_device_count=8` and single-chip numerics on one
+of those devices.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
