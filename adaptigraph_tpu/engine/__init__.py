@@ -1,0 +1,14 @@
+from adaptigraph_tpu.engine.state import (
+    ParticleState,
+    SpringSet,
+    ClusterSet,
+    ShapeSet,
+    SolverParams,
+    SceneSpec,
+    SceneState,
+    SHAPE_BOX,
+    SHAPE_CAPSULE,
+    SHAPE_PLANE,
+)
+from adaptigraph_tpu.engine.neighbors import neighbor_list
+from adaptigraph_tpu.engine.solver import xpbd_step, rollout_steps

@@ -1,0 +1,256 @@
+"""XPBD particle solver — the TPU-native core replacing NvFlexUpdateSolver.
+
+Semantics follow the unified-particle PBD pipeline the reference drives
+through the closed CUDA solver (SURVEY.md §3.5; params NvFlex.h:95-154;
+per-scene substep/iteration counts by_softrope.h:191,198 (2/4),
+by_granular.h:74-76 (12/6), by_softgym_cloth.h:145-146 (4/50)):
+
+  per substep: integrate -> neighbor find -> `iterations` x Jacobi projection
+  of {distance springs, shape-matching clusters, particle contacts+friction,
+  kinematic-shape contacts+friction} -> velocity update (damping, sleeping).
+
+TPU mapping:
+  * all constraint projections are gather/segment-sum passes over fixed-size
+    padded sets — no sorting, no atomics, no dynamic shapes;
+  * Jacobi with constraint-count averaging (the parallel-friendly analogue of
+    FleX's local relaxation mode) instead of Gauss-Seidel;
+  * substeps run under `lax.scan`, iterations under `lax.fori_loop`, so one
+    outer `xpbd_step` is a single compiled program; `rollout_steps` scans
+    entire pushes on device;
+  * shape-matching rotations are extracted with the warm-started iterative
+    quaternion method (utils.geometry.extract_rotation) — no batched SVD.
+
+The whole step vmaps over a leading env axis for multi-env data generation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.engine.neighbors import neighbor_list, neighbor_list_tiled
+from adaptigraph_tpu.engine.collisions import shape_contact_deltas
+from adaptigraph_tpu.engine.state import (
+    ParticleState,
+    SceneSpec,
+    SceneState,
+    ShapeSet,
+)
+from adaptigraph_tpu.utils import geometry as geo
+
+_EPS = 1e-9
+
+
+def _spring_deltas(pos, inv_mass, springs):
+    """Distance-constraint corrections, scatter-added per endpoint."""
+    i, j = springs.idx[:, 0], springs.idx[:, 1]
+    pi, pj = pos[i], pos[j]
+    d = pi - pj
+    length = jnp.linalg.norm(d, axis=-1)
+    direction = d / (length[:, None] + _EPS)
+    c = length - springs.rest
+    wi, wj = inv_mass[i], inv_mass[j]
+    wsum = wi + wj
+    ok = springs.valid & (wsum > 0)
+    corr = -(springs.stiffness * c / (wsum + _EPS))[:, None] * direction
+    corr = jnp.where(ok[:, None], corr, 0.0)
+    n = pos.shape[0]
+    delta = jnp.zeros((n, 3), dtype=pos.dtype)
+    delta = delta.at[i].add(wi[:, None] * corr)
+    delta = delta.at[j].add(-wj[:, None] * corr)
+    cnt = jnp.zeros((n,), dtype=pos.dtype)
+    okf = ok.astype(pos.dtype)
+    cnt = cnt.at[i].add(okf)
+    cnt = cnt.at[j].add(okf)
+    return delta, cnt
+
+
+def _particle_contact_deltas(pos, pos_prev, inv_mass, group, self_collide, nbr_idx, nbr_valid,
+                             rest_dist, particle_friction, rest_pos=None, filter_dist=0.0):
+    """Particle-particle non-penetration + friction from the fixed-K neighbor
+    list. Pure gather: each pair is handled from both sides symmetrically.
+
+    `rest_pos`/`filter_dist` implement eNvFlexPhaseSelfCollideFilter: pairs in
+    the same group closer than `filter_dist` at rest never collide (the way
+    FleX keeps volume-sampled soft bodies from exploding on their own rest
+    overlap; phases set at by_softrope.h:303)."""
+    pj = pos[nbr_idx]  # (N, K, 3)
+    d = pos[:, None, :] - pj
+    dist = jnp.linalg.norm(d, axis=-1)
+    direction = d / (dist[..., None] + _EPS)
+    overlap = rest_dist - dist  # > 0 when penetrating
+    gi = group[:, None]
+    gj = group[nbr_idx]
+    collide_groups = (gi != gj) | (self_collide[:, None] & self_collide[nbr_idx])
+    if rest_pos is not None:
+        rest_d = jnp.linalg.norm(rest_pos[:, None, :] - rest_pos[nbr_idx], axis=-1)
+        filtered = (gi == gj) & (rest_d < filter_dist)
+        collide_groups = collide_groups & ~filtered
+    wi = inv_mass[:, None]
+    wj = inv_mass[nbr_idx]
+    wsum = wi + wj
+    contact = nbr_valid & (overlap > 0) & collide_groups & (wsum > 0)
+    share = wi / (wsum + _EPS)
+    delta_n = direction * (share * overlap)[..., None]
+    # friction: tangential relative displacement over the substep
+    rel = (pos - pos_prev)[:, None, :] - (pos[nbr_idx] - pos_prev[nbr_idx])
+    rel_t = rel - direction * jnp.sum(rel * direction, axis=-1, keepdims=True)
+    rel_t_norm = jnp.linalg.norm(rel_t, axis=-1, keepdims=True)
+    max_slide = particle_friction * overlap[..., None]
+    scale = jnp.minimum(1.0, jnp.maximum(max_slide, 0.0) / (rel_t_norm + _EPS))
+    delta_f = -rel_t * scale * share[..., None]
+    delta = jnp.where(contact[..., None], delta_n + delta_f, 0.0)
+    return jnp.sum(delta, axis=1), jnp.sum(contact.astype(pos.dtype), axis=1)
+
+
+def _cluster_deltas(pos, clusters, cluster_rot):
+    """Shape-matching corrections (NvFlex rigids / soft clusters,
+    flexExtSoft.cpp:551). Returns (delta, count, new_rotations)."""
+    member = clusters.member  # (C, K)
+    mvalid = clusters.member_valid
+    p = pos[member]  # (C, K, 3)
+    mv = mvalid.astype(pos.dtype)[..., None]
+    nmem = jnp.maximum(jnp.sum(mv, axis=1), 1.0)  # (C, 1)
+    com = jnp.sum(p * mv, axis=1) / nmem
+    centered = (p - com[:, None, :]) * mv
+    a = jnp.einsum("cki,ckj->cij", centered, clusters.rest * mv,
+                   precision=jax.lax.Precision.HIGHEST)
+    q_new = geo.extract_rotation(a, cluster_rot, iterations=6)
+    q_new = jnp.where(clusters.valid[:, None], q_new, cluster_rot)
+    goal = com[:, None, :] + geo.quat_rotate(q_new[:, None, :], clusters.rest)
+    corr = (goal - p) * clusters.stiffness[:, None, None]
+    ok = mvalid & clusters.valid[:, None]
+    corr = jnp.where(ok[..., None], corr, 0.0)
+    n = pos.shape[0]
+    delta = jnp.zeros((n, 3), dtype=pos.dtype).at[member.reshape(-1)].add(corr.reshape(-1, 3))
+    cnt = jnp.zeros((n,), dtype=pos.dtype).at[member.reshape(-1)].add(
+        ok.astype(pos.dtype).reshape(-1))
+    return delta, cnt, q_new
+
+
+def _global_cluster_deltas(pos, active, inv_mass, rest, stiffness, q_prev):
+    """One shape-matching cluster spanning every active particle — the
+    rope's material-stiffness knob (globalStiffness,
+    flexExtSoft.cpp:592-616)."""
+    m = (active & (inv_mass > 0)).astype(pos.dtype)[:, None]
+    nmem = jnp.maximum(jnp.sum(m), 1.0)
+    com = jnp.sum(pos * m, axis=0) / nmem
+    centered = (pos - com) * m
+    a = jnp.einsum("ki,kj->ij", centered, rest * m, precision=jax.lax.Precision.HIGHEST)
+    q_new = geo.extract_rotation(a, q_prev, iterations=6)
+    goal = com + geo.quat_rotate(q_new, rest)
+    delta = (goal - pos) * stiffness * m
+    cnt = (m[:, 0] > 0).astype(pos.dtype) * jnp.where(stiffness > 0, 1.0, 0.0)
+    return delta, cnt, q_new
+
+
+def _nlerp(q0, q1, t):
+    q1 = jnp.where(jnp.sum(q0 * q1, axis=-1, keepdims=True) < 0, -q1, q1)
+    return geo.quat_normalize(q0 + (q1 - q0) * t)
+
+
+def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
+             shapes: ShapeSet, s_pos, s_quat, s_vel, dt, iterations: int, neighbor_k: int):
+    p = particles
+    prm = spec.params
+    movable = (p.inv_mass > 0) & p.active
+    mov = movable.astype(p.pos.dtype)[:, None]
+
+    vel = p.vel + jnp.array([0.0, 1.0, 0.0]) * (prm.gravity * dt)
+    vel = vel * jnp.maximum(0.0, 1.0 - prm.damping * dt)
+    speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+    vel = vel * jnp.minimum(1.0, prm.max_speed / (speed + _EPS))
+    vel = vel * mov
+    pos_prev = p.pos
+    pos = pos_prev + vel * dt
+
+    # tiled search avoids materializing the (N, N, 3) difference tensor
+    nfind = neighbor_list if p.pos.shape[0] <= 1024 else neighbor_list_tiled
+    nbr_idx, nbr_valid = nfind(pos, prm.radius * 1.5, p.active, k=neighbor_k)
+
+    def iter_body(_, carry):
+        pos, cl_rot, gl_rot = carry
+        delta_s, cnt_s = _spring_deltas(pos, p.inv_mass, spec.springs)
+        delta_c, cnt_c = _particle_contact_deltas(
+            pos, pos_prev, p.inv_mass, p.group, p.self_collide, nbr_idx, nbr_valid,
+            prm.solid_rest_distance, prm.particle_friction,
+            rest_pos=spec.rest_pos, filter_dist=prm.collide_filter_dist)
+        delta_k, cnt_k = shape_contact_deltas(
+            pos, pos_prev, shapes, s_pos, s_quat, s_vel,
+            prm.collision_distance, prm.shape_collision_margin, prm.dynamic_friction, dt)
+        delta_m, cnt_m, cl_rot = _cluster_deltas(pos, spec.clusters, cl_rot)
+        delta_g, cnt_g, gl_rot = _global_cluster_deltas(
+            pos, p.active, p.inv_mass, spec.global_rest, spec.global_stiffness, gl_rot)
+        delta = delta_s + delta_c + delta_k + delta_m + delta_g
+        cnt = cnt_s + cnt_c + cnt_k + cnt_m + cnt_g
+        pos = pos + prm.relaxation_factor * delta / jnp.maximum(cnt, 1.0)[:, None] * mov
+        return pos, cl_rot, gl_rot
+
+    pos, cluster_rot, global_rot = jax.lax.fori_loop(
+        0, iterations, iter_body, (pos, cluster_rot, global_rot))
+
+    vel = (pos - pos_prev) / dt
+    # dissipation: velocity loss proportional to contact count is approximated
+    # as plain viscous loss here (granular scenes rely on friction+damping)
+    vel = vel * jnp.maximum(0.0, 1.0 - prm.dissipation * dt)
+    # sleeping: freeze particles moving slower than the threshold
+    slow = jnp.linalg.norm(vel, axis=-1, keepdims=True) < prm.sleep_threshold
+    pos = jnp.where(slow, pos_prev, pos)
+    vel = jnp.where(slow, 0.0, vel)
+    return p._replace(pos=pos, vel=vel), cluster_rot, global_rot
+
+
+@partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k"))
+def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int,
+              neighbor_k: int = 24) -> SceneState:
+    """One outer sim frame (dt = params.dt), matching pyflex.step semantics:
+    kinematic shapes move from their prev pose to their current pose across
+    the substeps; particles respond.
+
+    Callers update shape targets via `state.shapes.moved_to(pos, quat)`
+    before stepping (the analogue of pyflex.set_shape_states,
+    pyflex.cpp:3187)."""
+    prm = spec.params
+    dt_sub = prm.dt / substeps
+    shapes = state.shapes
+    s_vel = (shapes.pos - shapes.prev_pos) / prm.dt
+
+    ts = (jnp.arange(substeps, dtype=jnp.float32) + 1.0) / substeps
+
+    def sub(carry, t):
+        particles, cl_rot, gl_rot = carry
+        s_pos = shapes.prev_pos + (shapes.pos - shapes.prev_pos) * t
+        s_quat = _nlerp(shapes.prev_quat, shapes.quat, t)
+        particles, cl_rot, gl_rot = _substep(
+            particles, cl_rot, gl_rot, spec, shapes, s_pos, s_quat, s_vel,
+            dt_sub, iterations, neighbor_k)
+        return (particles, cl_rot, gl_rot), None
+
+    (particles, cl_rot, gl_rot), _ = jax.lax.scan(
+        sub, (state.particles, state.cluster_rot, state.global_rot), ts)
+    return SceneState(particles=particles, shapes=shapes, cluster_rot=cl_rot,
+                      global_rot=gl_rot)
+
+
+@partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k", "record"))
+def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat_traj,
+                  substeps: int, iterations: int, neighbor_k: int = 24,
+                  record: bool = True):
+    """Scan a whole tool trajectory on device (T outer frames).
+
+    shape_pos_traj: (T, M, 3), shape_quat_traj: (T, M, 4) — per-frame target
+    poses for every kinematic shape. Returns (final_state, recorded particle
+    positions (T, N, 3) if `record`).
+    """
+
+    def body(st, tgt):
+        pos_t, quat_t = tgt
+        st = st._replace(shapes=st.shapes.moved_to(pos_t, quat_t))
+        st = xpbd_step(st, spec, substeps, iterations, neighbor_k)
+        out = st.particles.pos if record else None
+        return st, out
+
+    final, rec = jax.lax.scan(body, state, (shape_pos_traj, shape_quat_traj))
+    return final, rec

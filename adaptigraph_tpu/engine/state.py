@@ -1,0 +1,248 @@
+"""Engine state containers — fixed-shape pytrees.
+
+TPU-native replacement for the NvFlex solver-side state (reference:
+closed-source CUDA binary behind PyFleX/include/NvFlex.h:95-170 and the
+host mirrors `g_buffers` in PyFleX/bindings/pyflex.cpp). Everything is a
+NamedTuple of padded arrays so the whole scene jits, vmaps (multi-env), and
+scans (multi-step) without shape polymorphism:
+
+  * particles carry an `active` mask instead of a compacted count,
+  * springs / clusters / shapes carry `valid` masks,
+  * shape-matching cluster membership is a (C, K) gather table, plus one
+    optional "global cluster" over all particles — the reference's
+    material-stiffness knob for rope (flexExtSoft.cpp:592-616).
+
+Conventions: y-up, dt = 1/60 s per outer step (pyflex.cpp:473), quaternions
+xyzw, units follow the reference scenes (1 unit = 10 cm, sim_real_ratio=10).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+SHAPE_BOX = 0
+SHAPE_CAPSULE = 1
+SHAPE_PLANE = 2  # infinite plane with normal +y at pos.y (floor)
+
+
+class ParticleState(NamedTuple):
+    pos: jnp.ndarray  # (N, 3) f32
+    vel: jnp.ndarray  # (N, 3) f32
+    inv_mass: jnp.ndarray  # (N,) f32; 0 = pinned/kinematic (NvFlex 1/m in w)
+    group: jnp.ndarray  # (N,) int32 collision group (NvFlex phase group)
+    self_collide: jnp.ndarray  # (N,) bool (NvFlex eNvFlexPhaseSelfCollide)
+    active: jnp.ndarray  # (N,) bool
+
+    @property
+    def n_max(self) -> int:
+        return self.pos.shape[0]
+
+
+class SpringSet(NamedTuple):
+    """Distance constraints (NvFlexSetSprings). idx pairs into particles."""
+
+    idx: jnp.ndarray  # (S, 2) int32
+    rest: jnp.ndarray  # (S,) f32 rest length
+    stiffness: jnp.ndarray  # (S,) f32 in [0, 1]
+    valid: jnp.ndarray  # (S,) bool
+
+
+class ClusterSet(NamedTuple):
+    """Shape-matching clusters (NvFlexSetRigids): possibly-overlapping groups
+    of particles pulled toward a rigidly-transformed rest shape."""
+
+    member: jnp.ndarray  # (C, K) int32 particle indices (0-padded)
+    member_valid: jnp.ndarray  # (C, K) bool
+    rest: jnp.ndarray  # (C, K, 3) f32 rest offsets from cluster COM
+    stiffness: jnp.ndarray  # (C,) f32
+    valid: jnp.ndarray  # (C,) bool
+
+
+class ShapeSet(NamedTuple):
+    """Kinematic collision shapes (table boxes, robot tool) — the engine-side
+    mirror of pyflex shape states (14-dim: pos, prev_pos, quat, prev_quat;
+    pyflex.cpp:3154-3237)."""
+
+    kind: jnp.ndarray  # (M,) int32 in {BOX, CAPSULE, PLANE}
+    size: jnp.ndarray  # (M, 3) box half-edges / capsule (radius, half_len, _)
+    pos: jnp.ndarray  # (M, 3)
+    quat: jnp.ndarray  # (M, 4) xyzw
+    prev_pos: jnp.ndarray  # (M, 3)
+    prev_quat: jnp.ndarray  # (M, 4)
+    valid: jnp.ndarray  # (M,) bool
+
+    def moved_to(self, pos, quat) -> "ShapeSet":
+        """New pose; the old current pose becomes prev (one sim frame)."""
+        return self._replace(prev_pos=self.pos, prev_quat=self.quat, pos=pos, quat=quat)
+
+
+class SolverParams(NamedTuple):
+    """Per-scene solver parameters — the used subset of NvFlexParams
+    (NvFlex.h:95-154) as configured by the three scenes
+    (by_softrope.h:186-224, by_granular.h:74-84, by_softgym_cloth.h:140-154).
+    All floats (traceable); iteration counts are static args to the solver.
+    """
+
+    dt: jnp.ndarray = 1.0 / 60.0
+    gravity: jnp.ndarray = -9.8
+    radius: jnp.ndarray = 0.03  # interaction radius
+    solid_rest_distance: jnp.ndarray = 0.03  # particle-particle rest separation
+    collision_distance: jnp.ndarray = 0.015  # particle-shape contact offset
+    shape_collision_margin: jnp.ndarray = 0.0
+    dynamic_friction: jnp.ndarray = 0.1
+    particle_friction: jnp.ndarray = 0.25
+    static_friction: jnp.ndarray = 0.0
+    damping: jnp.ndarray = 0.0  # viscous drag on velocity
+    dissipation: jnp.ndarray = 0.0  # contact-count-based velocity loss
+    sleep_threshold: jnp.ndarray = 0.0
+    relaxation_factor: jnp.ndarray = 1.0  # SOR factor for Jacobi projection
+    max_speed: jnp.ndarray = 1e6
+    restitution: jnp.ndarray = 0.0
+    # eNvFlexPhaseSelfCollideFilter: same-group pairs closer than this in the
+    # REST configuration never collide (NvFlex.h:160-170). 0 disables.
+    collide_filter_dist: jnp.ndarray = 0.0
+
+
+class SceneSpec(NamedTuple):
+    """Static scene description (constraint topology + solver params)."""
+
+    springs: SpringSet
+    clusters: ClusterSet
+    global_stiffness: jnp.ndarray  # scalar; 0 disables the global cluster
+    global_rest: jnp.ndarray  # (N, 3) rest offsets for the global cluster
+    rest_pos: jnp.ndarray  # (N, 3) rest positions (for the collide filter)
+    params: SolverParams
+
+
+class SceneState(NamedTuple):
+    """Evolving state threaded through `xpbd_step`."""
+
+    particles: ParticleState
+    shapes: ShapeSet
+    cluster_rot: jnp.ndarray  # (C, 4) warm-started shape-match rotations
+    global_rot: jnp.ndarray  # (4,) rotation of the global cluster
+
+
+def make_particles(pos, inv_mass=None, group=None, self_collide=False, n_max=None) -> ParticleState:
+    """Build a padded ParticleState from a concrete (n, 3) position array."""
+    pos = np.asarray(pos, dtype=np.float32)
+    n = pos.shape[0]
+    n_max = n_max or n
+    if inv_mass is None:
+        inv_mass = np.ones((n,), dtype=np.float32)
+    else:
+        inv_mass = np.broadcast_to(np.asarray(inv_mass, dtype=np.float32), (n,)).copy()
+    if group is None:
+        group = np.zeros((n,), dtype=np.int32)
+    else:
+        group = np.broadcast_to(np.asarray(group, dtype=np.int32), (n,)).copy()
+    sc = np.broadcast_to(np.asarray(self_collide, dtype=bool), (n,)).copy()
+
+    def pad(a, fill=0):
+        out = np.full((n_max,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:n] = a
+        return out
+
+    return ParticleState(
+        pos=jnp.array(pad(pos)),
+        vel=jnp.zeros((n_max, 3), dtype=jnp.float32),
+        inv_mass=jnp.array(pad(inv_mass)),
+        group=jnp.array(pad(group, fill=-1)),
+        self_collide=jnp.array(pad(sc, fill=False)),
+        active=jnp.array(pad(np.ones(n, dtype=bool), fill=False)),
+    )
+
+
+def empty_springs(capacity: int) -> SpringSet:
+    return SpringSet(
+        idx=jnp.zeros((capacity, 2), dtype=jnp.int32),
+        rest=jnp.zeros((capacity,), dtype=jnp.float32),
+        stiffness=jnp.zeros((capacity,), dtype=jnp.float32),
+        valid=jnp.zeros((capacity,), dtype=bool),
+    )
+
+
+def make_springs(idx, rest, stiffness, capacity=None) -> SpringSet:
+    # pure numpy until the final device put: scene construction is host-side
+    # and must not dispatch tiny device ops (slow over remote-TPU tunnels)
+    idx = np.asarray(idx, dtype=np.int32).reshape(-1, 2)
+    s = idx.shape[0]
+    capacity = capacity or s
+    idx_p = np.zeros((capacity, 2), dtype=np.int32)
+    rest_p = np.zeros((capacity,), dtype=np.float32)
+    stiff_p = np.zeros((capacity,), dtype=np.float32)
+    valid_p = np.zeros((capacity,), dtype=bool)
+    idx_p[:s] = idx
+    rest_p[:s] = np.broadcast_to(np.asarray(rest, dtype=np.float32), (s,))
+    stiff_p[:s] = np.broadcast_to(np.asarray(stiffness, dtype=np.float32), (s,))
+    valid_p[:s] = True
+    return SpringSet(idx=jnp.array(idx_p), rest=jnp.array(rest_p),
+                     stiffness=jnp.array(stiff_p), valid=jnp.array(valid_p))
+
+
+def empty_clusters(c: int, k: int) -> ClusterSet:
+    return ClusterSet(
+        member=jnp.zeros((c, k), dtype=jnp.int32),
+        member_valid=jnp.zeros((c, k), dtype=bool),
+        rest=jnp.zeros((c, k, 3), dtype=jnp.float32),
+        stiffness=jnp.zeros((c,), dtype=jnp.float32),
+        valid=jnp.zeros((c,), dtype=bool),
+    )
+
+
+def make_clusters(members: list, positions, stiffness, c_max=None, k_max=None) -> ClusterSet:
+    """members: list of index lists; rest offsets are computed from
+    `positions` relative to each cluster's (uniform-mass) COM."""
+    positions = np.asarray(positions, dtype=np.float32)
+    c = len(members)
+    c_max = c_max or max(c, 1)
+    k_max = k_max or max((len(m) for m in members), default=1)
+    member = np.zeros((c_max, k_max), dtype=np.int32)
+    mvalid = np.zeros((c_max, k_max), dtype=bool)
+    rest = np.zeros((c_max, k_max, 3), dtype=np.float32)
+    stiff = np.zeros((c_max,), dtype=np.float32)
+    cvalid = np.zeros((c_max,), dtype=bool)
+    stiffness = np.broadcast_to(np.asarray(stiffness, dtype=np.float32), (c,))
+    for ci, m in enumerate(members):
+        m = np.asarray(m, dtype=np.int32)
+        k = len(m)
+        assert k <= k_max, f"cluster {ci} has {k} members > k_max={k_max}"
+        member[ci, :k] = m
+        mvalid[ci, :k] = True
+        com = positions[m].mean(axis=0)
+        rest[ci, :k] = positions[m] - com
+        stiff[ci] = stiffness[ci]
+        cvalid[ci] = True
+    return ClusterSet(
+        member=jnp.array(member), member_valid=jnp.array(mvalid), rest=jnp.array(rest),
+        stiffness=jnp.array(stiff), valid=jnp.array(cvalid),
+    )
+
+
+def make_shapes(kinds, sizes, poses, quats, m_max=None) -> ShapeSet:
+    kinds = np.asarray(kinds, dtype=np.int32).reshape(-1)
+    m = kinds.shape[0]
+    m_max = m_max or m
+    sizes = np.asarray(sizes, dtype=np.float32).reshape(m, 3)
+    poses = np.asarray(poses, dtype=np.float32).reshape(m, 3)
+    quats = np.asarray(quats, dtype=np.float32).reshape(m, 4)
+
+    def pad(a, fill=0.0):
+        out = np.full((m_max,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:m] = a
+        return out
+
+    qpad = pad(quats)
+    qpad[m:, 3] = 1.0
+    return ShapeSet(
+        kind=jnp.array(pad(kinds)),
+        size=jnp.array(pad(sizes)),
+        pos=jnp.array(pad(poses)),
+        quat=jnp.array(qpad),
+        prev_pos=jnp.array(pad(poses)),
+        prev_quat=jnp.array(qpad),
+        valid=jnp.array(pad(np.ones(m, dtype=bool), fill=False)),
+    )

@@ -1,0 +1,335 @@
+"""Scene builders: sampled parameters -> engine state/spec.
+
+TPU-native replacement for the FleX scene constructors + NvFlexExt asset
+builder (reference: by_softrope.h:118-227 + flexExtSoft.cpp:510-640 for
+rope; by_granular.h:14-95 + helpers.h CreateRandomConvexMesh/
+CreateParticleShape for granular; by_softgym_cloth.h:18-160 +
+helpers.h:1246 CreateSpringGrid for cloth).
+
+Construction is host-side numpy (it runs once per episode) producing
+fixed-capacity device arrays so the solver compiles once per material:
+
+  * rope     — procedural capsule-volume particle lattice standing in for
+               the volume-sampled rope.obj; overlapping greedy ball-cover
+               shape-matching clusters at cluster_spacing*radius; NO springs
+               (linkRadius=0 in the reference); weak global cluster; one end
+               pinned by the y<0.4 rule (by_softrope.h:219-221).
+  * granular — grid of random convex blobs, each a rigid shape-matching
+               cluster (stiffness 0.8) in its own collision group.
+  * cloth    — dimx x dimz particle grid with stretch/bend/shear distance
+               springs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from adaptigraph_tpu.engine.state import (
+    ClusterSet,
+    SceneSpec,
+    SceneState,
+    ShapeSet,
+    SolverParams,
+    empty_clusters,
+    empty_springs,
+    make_clusters,
+    make_particles,
+    make_springs,
+)
+from adaptigraph_tpu.scenes.samplers import sample_scene
+
+
+class Caps(NamedTuple):
+    n: int  # particles
+    s: int  # springs
+    c: int  # clusters
+    k: int  # members per cluster
+    m: int  # kinematic shapes
+
+
+MATERIAL_CAPS = {
+    "rope": Caps(n=3072, s=1, c=384, k=640, m=8),
+    "granular": Caps(n=40960, s=1, c=1024, k=640, m=8),
+    "cloth": Caps(n=4900, s=30720, c=2, k=4, m=8),
+}
+
+
+class SceneBuild(NamedTuple):
+    state: SceneState
+    spec: SceneSpec
+    scene: dict  # sampled scene parameters
+    props: dict  # property_params (physics labels for preprocessing)
+    n_active: int
+    substeps: int
+    iterations: int
+
+
+def greedy_ball_cover(points: np.ndarray, radius: float):
+    """Greedy set-cover clustering: repeatedly seed from the highest-index
+    unused point and claim everything within `radius` (the CreateClusters
+    algorithm, flexExtSoft.cpp:185-270, with uniform priorities).
+
+    Returns a list of index arrays (clusters overlap is possible only via
+    the query including already-used points — same as the reference)."""
+    n = len(points)
+    used = np.zeros(n, dtype=bool)
+    clusters = []
+    # seeds popped from the back of a stable priority sort == descending index
+    for seed in range(n - 1, -1, -1):
+        if used[seed]:
+            continue
+        d = np.linalg.norm(points - points[seed], axis=1)
+        members = np.nonzero(d < radius)[0]
+        used[members] = True
+        clusters.append(members)
+    return clusters
+
+
+def _cylinder_lattice(length: float, rad: float, spacing: float):
+    """Particle lattice filling a capsule-ish cylinder along +x, centered."""
+    nx = max(int(length / spacing), 1)
+    xs = (np.arange(nx) - (nx - 1) / 2) * spacing
+    r_steps = np.arange(-int(rad / spacing), int(rad / spacing) + 1) * spacing
+    yy, zz = np.meshgrid(r_steps, r_steps, indexing="ij")
+    disk = np.stack([yy.ravel(), zz.ravel()], 1)
+    disk = disk[np.linalg.norm(disk, axis=1) <= rad]
+    pts = np.concatenate(
+        [np.concatenate([np.full((len(disk), 1), x), disk], axis=1) for x in xs], axis=0)
+    return pts.astype(np.float32)
+
+
+def _rot_z(deg):
+    t = np.deg2rad(deg)
+    return np.array([[np.cos(t), -np.sin(t), 0], [np.sin(t), np.cos(t), 0], [0, 0, 1]],
+                    dtype=np.float32)
+
+
+def _rot_y(deg):
+    t = np.deg2rad(deg)
+    return np.array([[np.cos(t), 0, np.sin(t)], [0, 1, 0], [-np.sin(t), 0, np.cos(t)]],
+                    dtype=np.float32)
+
+
+def build_rope(scene: dict, rng: np.random.RandomState, caps: Caps):
+    radius = scene["radius"]
+    # world dimensions mirror the mesh pipeline: rope.obj (extent ratio
+    # ~1 : 0.033) normalized then scaled by [length,3,3]*50*radius
+    # (by_softrope.h:235, scenes.py:19-21)
+    length_world = scene["length"] * 50 * radius  # ~3.75-4.5
+    rope_radius_world = 0.0329 * (3.0 * 50 * radius) / 2  # ~0.074
+    pts = _cylinder_lattice(length_world, rope_radius_world, spacing=radius)
+    # transform: R_y(90) @ R_z(z_rot) then translate (scenes.py:36-42)
+    rot = _rot_y(scene["y_rotation"]) @ _rot_z(scene["z_rotation"])
+    pts = pts @ rot.T + scene["translation"].astype(np.float32)
+
+    # clusters at cluster_spacing * radius; stiffness 0.55
+    spacing = scene["cluster_spacing"] * radius
+    members = greedy_ball_cover(pts, spacing)
+    clusters = make_clusters(members, pts, scene["cluster_stiffness"],
+                             c_max=caps.c, k_max=caps.k)
+
+    inv_mass = np.ones(len(pts), dtype=np.float32)
+    inv_mass[pts[:, 1] < scene["pin_below_y"]] = 0.0  # by_softrope.h:219-221
+
+    particles = make_particles(pts, inv_mass=inv_mass, group=0, self_collide=True,
+                               n_max=caps.n)
+    rest_pos = np.zeros((caps.n, 3), dtype=np.float32)
+    rest_pos[: len(pts)] = pts
+
+    eff_radius = radius * scene["radius_scale"]  # by_softrope.h:224
+    params = SolverParams(
+        radius=jnp.float32(eff_radius),
+        solid_rest_distance=jnp.float32(eff_radius),
+        collision_distance=jnp.float32(scene["collision_distance"]),
+        dynamic_friction=jnp.float32(scene["dynamic_friction"]),
+        particle_friction=jnp.float32(scene["particle_friction"]),
+        relaxation_factor=jnp.float32(scene["relaxation_factor"]),
+        collide_filter_dist=jnp.float32(eff_radius),
+    )
+    global_rest = rest_pos - pts.mean(0, keepdims=True)
+    global_rest[len(pts):] = 0.0
+    spec = SceneSpec(
+        springs=empty_springs(caps.s),
+        clusters=clusters,
+        global_stiffness=jnp.float32(scene["global_stiffness"]),
+        global_rest=jnp.array(global_rest),
+        rest_pos=jnp.array(rest_pos),
+        params=params,
+    )
+    return particles, spec, len(pts)
+
+
+def _random_convex_blob(rng, num_planes, min_dist, max_dist, scale, spacing, jitter):
+    """Voxel-sample the interior of a random convex polytope
+    (CreateRandomConvexMesh, helpers.h:2188 + CreateParticleShape voxel
+    sampling, helpers.h:155). Returns (n, 3) points with extents ~ scale."""
+    dirs = rng.randn(num_planes, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dists = rng.uniform(min_dist, max_dist, size=num_planes)
+    # bounding box of the polytope is within max_dist ball; normalize so the
+    # sampled solid spans ~scale
+    half = scale / 2.0
+    axes = np.arange(-half, half + 1e-6, spacing)
+    if len(axes) == 0:
+        axes = np.array([0.0])
+    gx, gy, gz = np.meshgrid(axes, axes, axes, indexing="ij")
+    grid = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], 1).astype(np.float32)
+    # map voxel coords into plane units: polytope inradius >= min_dist, so
+    # scale voxels by (min..max mean)/half
+    plane_scale = dists.mean() / (half + 1e-9)
+    inside = np.all(grid * plane_scale @ dirs.T <= dists[None, :], axis=1)
+    pts = grid[inside]
+    if len(pts) == 0:
+        pts = np.zeros((1, 3), dtype=np.float32)
+    pts = pts + rng.uniform(-jitter, jitter, size=pts.shape).astype(np.float32)
+    return pts.astype(np.float32)
+
+
+def build_granular(scene: dict, rng: np.random.RandomState, caps: Caps):
+    radius = scene["radius"]
+    spacing = radius * 1.001
+    pos_diff = scene["granular_scale"] + scene["granular_dis"]
+    origin = scene["origin"]
+    all_pts, groups, members = [], [], []
+    count, full = 0, False
+    for xi in range(scene["num_x"]):
+        if full:
+            break
+        for zi in range(scene["num_z"]):
+            npl = rng.randint(scene["num_planes_range"][0], scene["num_planes_range"][1])
+            blob = _random_convex_blob(rng, npl, scene["shape_min_dist"],
+                                       scene["shape_max_dist"], scene["granular_scale"],
+                                       spacing, scene["jitter"])
+            lower = origin + np.array([xi * pos_diff, 0.0, zi * pos_diff])
+            blob = blob - blob.min(0) + lower.astype(np.float32)
+            if count + len(blob) > caps.n or len(members) >= caps.c:
+                full = True
+                break
+            idx0 = sum(len(p) for p in all_pts)
+            all_pts.append(blob)
+            members.append(np.arange(idx0, idx0 + len(blob)))
+            groups.append(np.full(len(blob), len(members) - 1, dtype=np.int32))
+            count += len(blob)
+    pts = np.concatenate(all_pts, 0)
+    group = np.concatenate(groups, 0)
+    members = members[: caps.c]
+    clusters = make_clusters([m for m in members], pts, scene["rigid_stiffness"],
+                             c_max=caps.c, k_max=caps.k)
+    inv_mass = np.full(len(pts), 1.0 / scene["granular_mass"], dtype=np.float32)
+    particles = make_particles(pts, inv_mass=inv_mass, group=group, self_collide=False,
+                               n_max=caps.n)
+    rest_pos = np.zeros((caps.n, 3), dtype=np.float32)
+    rest_pos[: len(pts)] = pts
+    params = SolverParams(
+        radius=jnp.float32(radius),
+        solid_rest_distance=jnp.float32(radius),
+        collision_distance=jnp.float32(scene["collision_distance"]),
+        shape_collision_margin=jnp.float32(scene["shape_collision_margin"]),
+        dynamic_friction=jnp.float32(scene["dynamic_friction"]),
+        dissipation=jnp.float32(scene["dissipation"]),
+        sleep_threshold=jnp.float32(scene["sleep_threshold"]),
+        relaxation_factor=jnp.float32(scene["relaxation_factor"]),
+    )
+    spec = SceneSpec(
+        springs=empty_springs(caps.s),
+        clusters=clusters,
+        global_stiffness=jnp.float32(0.0),
+        global_rest=jnp.zeros((caps.n, 3), dtype=jnp.float32),
+        rest_pos=jnp.array(rest_pos),
+        params=params,
+    )
+    return particles, spec, len(pts)
+
+
+def build_cloth(scene: dict, rng: np.random.RandomState, caps: Caps):
+    radius = scene["radius"]
+    dimx, dimz = scene["dimx"], scene["dimz"]
+    xs, zs = np.meshgrid(np.arange(dimx), np.arange(dimz), indexing="xy")
+    # CreateSpringGrid lays the grid in the xz plane (helpers.h:1257)
+    pts = np.stack([xs.ravel() * radius, np.zeros(dimx * dimz), zs.ravel() * radius], 1)
+    pts = (pts + scene["origin"]).astype(np.float32)
+
+    def gid(x, z):
+        return z * dimx + x
+
+    sidx, srest, sstiff = [], [], []
+
+    def add(a, b, stiff):
+        sidx.append((a, b))
+        srest.append(np.linalg.norm(pts[a] - pts[b]))
+        sstiff.append(stiff)
+
+    for z in range(dimz):
+        for x in range(dimx):
+            if x > 0:
+                add(gid(x, z), gid(x - 1, z), scene["stretch_stiffness"])
+            if x > 1:
+                add(gid(x, z), gid(x - 2, z), scene["bend_stiffness"])
+            if z > 0 and x < dimx - 1:
+                add(gid(x, z), gid(x + 1, z - 1), scene["shear_stiffness"])
+            if z > 0 and x > 0:
+                add(gid(x, z), gid(x - 1, z - 1), scene["shear_stiffness"])
+            if z > 0:
+                add(gid(x, z), gid(x, z - 1), scene["stretch_stiffness"])
+            if z > 1:
+                add(gid(x, z), gid(x, z - 2), scene["bend_stiffness"])
+    springs = make_springs(np.array(sidx), np.array(srest), np.array(sstiff),
+                           capacity=caps.s)
+
+    inv_mass = np.full(len(pts), dimx * dimz / scene["cloth_mass"], dtype=np.float32)
+    particles = make_particles(pts, inv_mass=inv_mass, group=0, self_collide=True,
+                               n_max=caps.n)
+    rest_pos = np.zeros((caps.n, 3), dtype=np.float32)
+    rest_pos[: len(pts)] = pts
+    eff_radius = radius * scene["radius_scale"]  # by_softgym_cloth.h:147
+    params = SolverParams(
+        radius=jnp.float32(eff_radius),
+        solid_rest_distance=jnp.float32(eff_radius),
+        collision_distance=jnp.float32(scene["collision_distance"]),
+        shape_collision_margin=jnp.float32(scene["shape_collision_margin"]),
+        dynamic_friction=jnp.float32(scene["dynamic_friction"]),
+        static_friction=jnp.float32(scene["static_friction"]),
+        particle_friction=jnp.float32(scene["particle_friction"]),
+        damping=jnp.float32(scene["damping"]),
+        sleep_threshold=jnp.float32(scene["sleep_threshold"]),
+        relaxation_factor=jnp.float32(scene["relaxation_factor"]),
+        collide_filter_dist=jnp.float32(eff_radius),
+    )
+    spec = SceneSpec(
+        springs=springs,
+        clusters=empty_clusters(caps.c, caps.k),
+        global_stiffness=jnp.float32(0.0),
+        global_rest=jnp.zeros((caps.n, 3), dtype=jnp.float32),
+        rest_pos=jnp.array(rest_pos),
+        params=params,
+    )
+    return particles, spec, len(pts)
+
+
+_BUILDERS = {"rope": build_rope, "granular": build_granular, "cloth": build_cloth}
+
+
+def build_scene(material: str, rng: np.random.RandomState, shapes: ShapeSet | None = None,
+                caps: Caps | None = None) -> SceneBuild:
+    """Sample and build a full scene. `shapes` supplies the kinematic set
+    (table + tool); if None, a lone floor plane is used."""
+    caps = caps or MATERIAL_CAPS[material]
+    scene, props = sample_scene(material, rng)
+    particles, spec, n_active = _BUILDERS[material](scene, rng, caps)
+    if shapes is None:
+        from adaptigraph_tpu.engine.state import SHAPE_PLANE, make_shapes
+
+        shapes = make_shapes([SHAPE_PLANE], [[0, 0, 0]], [[0, 0, 0]], [[0, 0, 0, 1]],
+                             m_max=caps.m)
+    state = SceneState(
+        particles=particles,
+        shapes=shapes,
+        cluster_rot=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (caps.c, 1)),
+        global_rot=jnp.array([0.0, 0.0, 0.0, 1.0]),
+    )
+    return SceneBuild(state=state, spec=spec, scene=scene, props=props,
+                      n_active=n_active, substeps=scene["substeps"],
+                      iterations=scene["iterations"])

@@ -1,0 +1,104 @@
+"""Scene sampler/builder tests: parameter distributions match the reference
+ranges (src/sim/sim_env/scenes.py) and built scenes are structurally sound."""
+
+import numpy as np
+import pytest
+
+from adaptigraph_tpu.scenes import sample_scene, build_scene
+from adaptigraph_tpu.scenes.build import greedy_ball_cover, MATERIAL_CAPS
+
+
+class TestSamplers:
+    def test_rope_stiffness_map_soft_branch(self):
+        # stiffness < 0.5: global = s*1e-4/0.5, spacing = 2+8s (scenes.py:25-27)
+        rng = np.random.RandomState(1)
+        for _ in range(50):
+            scene, props = sample_scene("rope", rng)
+            s = props["stiffness"]
+            if s < 0.5:
+                assert props["global_stiffness"] == pytest.approx(s * 1e-4 / 0.5)
+                assert props["cluster_spacing"] == pytest.approx(2 + 8 * s)
+            else:
+                assert props["global_stiffness"] == pytest.approx((s - 0.5) * 4e-4 + 1e-4)
+                assert props["cluster_spacing"] == pytest.approx(6 + 4 * (s - 0.5))
+            assert 2.5 <= props["length"] <= 3.0
+
+    def test_granular_counts(self):
+        rng = np.random.RandomState(2)
+        for _ in range(20):
+            scene, props = sample_scene("granular", rng)
+            assert 0.1 <= props["granular_scale"] <= 0.3
+            assert props["num_granular"] == scene["num_x"] * scene["num_z"]
+            assert scene["num_x"] >= 1 and scene["num_z"] >= 1
+
+    def test_cloth_stiffness_coupling(self):
+        rng = np.random.RandomState(3)
+        for _ in range(20):
+            scene, props = sample_scene("cloth", rng)
+            sf = props["sf"]
+            assert props["dynamic_friction"] == pytest.approx(-sf * 0.9 + 1.0)
+            assert 1.0 <= props["stretch_stiffness"] <= 1.5
+            assert props["bend_stiffness"] == pytest.approx(sf * 1.4 + 0.1)
+
+
+class TestGreedyCover:
+    def test_covers_all_points(self, rng):
+        pts = rng.rand(200, 3).astype(np.float32)
+        clusters = greedy_ball_cover(pts, 0.3)
+        covered = np.zeros(200, dtype=bool)
+        for m in clusters:
+            covered[m] = True
+        assert covered.all()
+
+    def test_cluster_members_within_radius(self, rng):
+        pts = rng.rand(100, 3).astype(np.float32) * 2
+        for m in greedy_ball_cover(pts, 0.5):
+            # all members are within radius of SOME seed: the seed is the
+            # highest-index unused point, which is always in the cluster
+            d = np.linalg.norm(pts[m][:, None] - pts[m][None], axis=-1)
+            assert d.max() <= 1.0 + 1e-6  # diameter bound
+
+
+class TestBuilders:
+    def test_rope_structure(self):
+        b = build_scene("rope", np.random.RandomState(0))
+        caps = MATERIAL_CAPS["rope"]
+        assert 0 < b.n_active <= caps.n
+        assert int(np.asarray(b.spec.clusters.valid).sum()) > 0
+        assert int(np.asarray(b.spec.springs.valid).sum()) == 0  # linkRadius=0
+        # one end pinned (y<0.4 rule), one end free
+        w = np.asarray(b.state.particles.inv_mass)[: b.n_active]
+        assert 0 < (w == 0).sum() < b.n_active
+        assert float(b.spec.global_stiffness) >= 0
+        assert (b.substeps, b.iterations) == (2, 4)
+
+    def test_cloth_structure(self):
+        b = build_scene("cloth", np.random.RandomState(1))
+        assert b.n_active == 4900
+        n_springs = int(np.asarray(b.spec.springs.valid).sum())
+        # 2 axes x (stretch 70*69 + bend 70*68) + shear 2*69*69
+        assert n_springs == 2 * (70 * 69) + 2 * (70 * 68) + 2 * 69 * 69
+        assert (b.substeps, b.iterations) == (4, 50)
+        # spring rests: stretch=r, shear=sqrt(2) r, bend=2r
+        rest = np.asarray(b.spec.springs.rest)[:n_springs]
+        uniq = np.unique(np.round(rest, 5))
+        want = np.array([0.03, 0.03 * np.sqrt(2), 0.06])
+        np.testing.assert_allclose(np.sort(uniq), np.sort(want), atol=1e-5)
+
+    def test_granular_structure(self):
+        b = build_scene("granular", np.random.RandomState(2))
+        nclusters = int(np.asarray(b.spec.clusters.valid).sum())
+        assert nclusters > 0
+        group = np.asarray(b.state.particles.group)[: b.n_active]
+        # every granule is its own collision group == its own cluster
+        assert len(np.unique(group)) == nclusters
+        # rigid stiffness 0.8 everywhere (by_granular.h:67)
+        stiff = np.asarray(b.spec.clusters.stiffness)[np.asarray(b.spec.clusters.valid)]
+        np.testing.assert_allclose(stiff, 0.8)
+        assert (b.substeps, b.iterations) == (12, 6)
+
+    def test_builds_are_seed_deterministic(self):
+        b1 = build_scene("rope", np.random.RandomState(7))
+        b2 = build_scene("rope", np.random.RandomState(7))
+        np.testing.assert_array_equal(np.asarray(b1.state.particles.pos),
+                                      np.asarray(b2.state.particles.pos))
