@@ -1,0 +1,226 @@
+"""Autoregressive rollout evaluation.
+
+Port of the reference evaluator (src/dynamics/rollout/rollout.py:20-273 +
+rollout/graph.py:233-400): for each validation episode and push, build the
+start graph with deterministic mid-range FPS/adjacency radii, then roll the
+model forward up to `rollout_steps` steps — each step re-building radius
+edges from the PREDICTED state, sliding the history window, and walking the
+frame-pair table for the next (start, end) anchor. Error = mean particle L2
+against the FPS-subsampled ground truth (rollout.py:88).
+
+TPU design: the per-step compute (model forward + edge rebuild + window
+slide) is one jitted `rollout_step`; the frame-pair table walk stays on
+host (it is data-dependent control flow over a ragged table). Outputs
+per-push error curves + summary stats like the reference
+(rollout.py:183-205,244-273).
+
+Usage: python -m adaptigraph_tpu.dynamics.rollout --config dynamics/rope
+       [--ckpt latest]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.dynamics.dataset import DynDataset, load_dataset, load_positions
+from adaptigraph_tpu.dynamics.model import DynamicsPredictor, model_config_from_yaml
+from adaptigraph_tpu.dynamics.train import load_checkpoint, init_model, make_apply
+from adaptigraph_tpu.ops import build_edges
+from adaptigraph_tpu.utils import load_config
+from adaptigraph_tpu.utils.host_fps import fps_rad_idx, fps_with_idx
+
+
+def fps_indices(points, max_nobj, radius, rng):
+    """Two-stage FPS of the reference (dataset/graph.py:8-36), host-side."""
+    _, idx1 = fps_with_idx(points, min(max_nobj, len(points)))
+    sub = points[idx1]
+    _, idx2 = fps_rad_idx(sub, radius, rng)
+    return idx1[np.asarray(idx2, int)]
+
+
+def construct_graph(dataset_config, eef_pos, obj_pos, n_his, pair, physics_param,
+                    rng=None):
+    """Start graph for a rollout (rollout/graph.py:233-372), numpy."""
+    ds = dataset_config["datasets"][0]
+    max_nobj = int(ds["max_nobj"])
+    max_nR = int(ds["max_nR"])
+    fps_radius = float(np.mean(ds["fps_radius_range"]))
+    adj_thresh = float(np.mean(ds["adj_radius_range"]))
+    n_eef = eef_pos.shape[1]
+    state_dim = max_nobj + n_eef
+    rng = rng or np.random
+
+    obj_kps = np.stack([obj_pos[p] for p in pair])  # (T, N_raw, 3)
+    eef_kps = np.stack([eef_pos[p] for p in pair])
+
+    fps_idx = fps_indices(obj_kps[n_his - 1], max_nobj, fps_radius, rng)
+    nobj = len(fps_idx)
+    obj_kp = np.zeros((len(pair), max_nobj, 3), np.float32)
+    obj_kp[:, :nobj] = obj_kps[:, fps_idx]
+
+    states_delta = np.zeros((state_dim, 3), np.float32)
+    states_delta[max_nobj:] = eef_kps[n_his] - eef_kps[n_his - 1]
+
+    state_history = np.concatenate([obj_kp[:n_his], eef_kps[:n_his]], axis=1)
+
+    obj_mask = np.zeros(max_nobj, bool)
+    obj_mask[:nobj] = True
+    state_mask = np.concatenate([obj_mask, np.ones(n_eef, bool)])
+    eef_mask = np.concatenate([np.zeros(max_nobj, bool), np.ones(n_eef, bool)])
+    attrs = np.zeros((state_dim, 2), np.float32)
+    attrs[:nobj, 0] = 1.0
+    attrs[max_nobj:, 1] = 1.0
+    p_instance = obj_mask.astype(np.float32)[:, None]
+
+    edges = build_edges(jnp.array(state_history[-1]), adj_thresh, jnp.array(state_mask),
+                        jnp.array(eef_mask), topk=int(ds["topk"]),
+                        connect_tools_all=bool(ds["connect_tool_all"]), max_edges=max_nR)
+
+    graph = {
+        "state": jnp.array(state_history),
+        "action": jnp.array(states_delta),
+        "attrs": jnp.array(attrs),
+        "p_instance": jnp.array(p_instance),
+        "obj_mask": jnp.array(obj_mask),
+        "state_mask": jnp.array(state_mask),
+        "eef_mask": jnp.array(eef_mask),
+        "recv": edges.receivers,
+        "send": edges.senders,
+        "edge_valid": edges.valid,
+        "physics_param": jnp.array(physics_param),
+    }
+    return graph, fps_idx
+
+
+def get_next_pair(pairs, n_his, current_end):
+    """Frame-pair table walk (rollout/graph.py:392-400)."""
+    valid = pairs[pairs[:, n_his - 1] == current_end]
+    valid = valid[valid[:, n_his] > current_end]
+    if len(valid) == 0:
+        return None
+    return valid[len(valid) // 2]
+
+
+def make_rollout_step(model, dataset_config):
+    ds = dataset_config["datasets"][0]
+    adj_thresh = float(np.mean(ds["adj_radius_range"]))
+    topk = int(ds["topk"])
+    cta = bool(ds["connect_tool_all"])
+    max_nR = int(ds["max_nR"])
+    apply = make_apply(model)
+
+    @jax.jit
+    def step(params, graph, eef_start, eef_end):
+        """One autoregressive step: forward, rebuild edges from prediction,
+        slide history (rollout.py:67-138)."""
+        pred, _ = apply(params, graph)
+        n_obj = pred.shape[0]
+        pred = jnp.where(graph["obj_mask"][:, None], pred, 0.0)
+        states = jnp.concatenate([pred, eef_start], axis=0)
+        delta = jnp.zeros_like(states)
+        delta = delta.at[n_obj:].set(eef_end - eef_start)
+        edges = build_edges(states, adj_thresh, graph["state_mask"],
+                            graph["eef_mask"], topk=topk, connect_tools_all=cta,
+                            max_edges=max_nR)
+        state_history = jnp.concatenate(
+            [graph["state"][1:], states[None]], axis=0)
+        new_graph = dict(graph, state=state_history, action=delta,
+                         recv=edges.receivers, send=edges.senders,
+                         edge_valid=edges.valid)
+        return pred, new_graph
+
+    return step
+
+
+def rollout_push(params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his,
+                 current_start, current_end, max_nobj, rollout_steps=100):
+    """Roll one push; returns the per-step error list."""
+    errors = []
+    for _ in range(rollout_steps):
+        eef_start = jnp.array(eef_pos[current_start])
+        eef_end = jnp.array(eef_pos[current_end])
+        # note: reference applies the NEXT action before computing error at
+        # current_end — the graph already encodes action toward current_end
+        pred, graph = step_fn(params, graph, eef_start, eef_end)
+        gt = obj_pos[current_end][fps_idx]
+        predn = np.asarray(pred)[: len(fps_idx)]
+        errors.append(float(np.linalg.norm(predn - gt, axis=-1).mean()))
+        nxt = get_next_pair(pairs, n_his, current_end)
+        if nxt is None:
+            break
+        current_start, current_end = nxt[n_his - 1], nxt[n_his]
+    return errors
+
+
+def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=None):
+    dataset_config = config["dataset_config"]
+    rollout_steps = rollout_steps or int(config["rollout_config"]["rollout_steps"])
+    out_dir = os.path.join(config["rollout_config"]["out_dir"],
+                           dataset_config["data_name"])
+    os.makedirs(out_dir, exist_ok=True)
+
+    dataset = DynDataset(dataset_config, config["material_config"], "valid")
+    model, params0 = init_model(config, dataset)
+    ckpt_dir = os.path.join(config["train_config"]["out_dir"],
+                            dataset_config["data_name"], "checkpoints")
+    params = load_checkpoint(ckpt_dir, ckpt, params0)
+    step_fn = make_rollout_step(model, dataset_config)
+
+    n_his = dataset.n_his
+    prep_dir = os.path.join(dataset_config["prep_data_dir"],
+                            dataset_config["data_name"], "frame_pairs")
+    data_dir = os.path.join(dataset_config["data_dir"], dataset_config["data_name"])
+    num_epis = len([f for f in os.listdir(data_dir)
+                    if os.path.isdir(os.path.join(data_dir, f)) and f.isdigit()])
+    ratio = dataset_config["ratio"]["valid"]
+    epi_range = list(range(int(num_epis * ratio[0]), int(num_epis * ratio[1])))
+    if max_episodes:
+        epi_range = epi_range[:max_episodes]
+
+    all_errors = []
+    rng = np.random.RandomState(42)
+    for epi in epi_range:
+        pair_files = sorted(glob.glob(os.path.join(prep_dir, f"{epi:06}_*.txt")))
+        eef_pos, obj_pos = dataset.eef_pos[epi], dataset.obj_pos[epi]
+        physics = dataset.physics_params[epi][dataset.material]
+        for pi, pf in enumerate(pair_files):
+            pairs = np.loadtxt(pf).astype(int)
+            if pairs.ndim == 1:
+                continue
+            pair = pairs[0]
+            graph, fps_idx = construct_graph(dataset_config, eef_pos, obj_pos, n_his,
+                                             pair, physics, rng)
+            errors = rollout_push(
+                params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his,
+                pair[n_his - 1], pair[n_his],
+                int(dataset_config["datasets"][0]["max_nobj"]), rollout_steps)
+            all_errors.append(errors)
+            np.savetxt(os.path.join(out_dir, f"error_{epi:06}_{pi + 1}.txt"), errors)
+            print(f"episode {epi} push {pi + 1}: {len(errors)} steps, "
+                  f"final err {errors[-1] if errors else float('nan'):.4f}", flush=True)
+
+    if all_errors:
+        max_len = max(len(e) for e in all_errors)
+        mat = np.full((len(all_errors), max_len), np.nan)
+        for i, e in enumerate(all_errors):
+            mat[i, : len(e)] = e
+        med = np.nanmedian(mat, axis=0)
+        np.savetxt(os.path.join(out_dir, "error_median.txt"), med)
+        print(f"median error over horizon: start {med[0]:.4f} end {med[-1]:.4f}")
+    return all_errors
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, default="dynamics/rope")
+    ap.add_argument("--ckpt", type=str, default="latest")
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args()
+    rollout(load_config(args.config), ckpt=args.ckpt, rollout_steps=args.steps)

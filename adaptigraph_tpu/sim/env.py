@@ -1,0 +1,512 @@
+"""Simulation environment: scripted xArm6 pushes over the particle engine.
+
+The TPU-native counterpart of FlexEnv (src/sim/sim_env/flex_env.py):
+reset = build scene + table boxes + tool, settle 200 frames
+(flex_env.py:213-256); step = decode a 4-dof push action into end-effector
+waypoints, interpolate at robot speed, and run the whole push as ONE jitted
+chunked scan on device (replacing the per-step pybullet-IK + pyflex.step
+python loop, flex_env.py:289-402). Captures land on 40-step chunk
+boundaries and are gated by robot-object distance exactly like the
+reference cadence rule (flex_env.py:369-376); rendering happens afterwards
+only for the selected frames.
+
+Key differences from the reference, by design:
+  * the tool (stick / board / gripper fingers) is driven kinematically along
+    the commanded trajectory; arm joint states come from the JAX IK chain
+    (sim.robot) for rendering, not from a physics engine;
+  * cloth grasping pins the k nearest particles to the gripper and rigidly
+    attaches them for the duration of the grasp (flex_env.py:311-361
+    semantics) via an attachment mask inside the scan;
+  * episodes are deterministic in the numpy seed (np.random.seed(episode)
+    semantics of data_gen.py:27).
+
+Action convention matches the reference: [x_start, z_start, x_end, z_end]
+in a frame whose z is the NEGATED flex z (sample_deform_actions flips it,
+flex_env.py:426).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.engine import SHAPE_BOX, SHAPE_CAPSULE, SHAPE_PLANE, xpbd_step
+from adaptigraph_tpu.engine.state import ShapeSet, make_shapes
+from adaptigraph_tpu.scenes import build_scene
+from adaptigraph_tpu.scenes.build import MATERIAL_CAPS
+from adaptigraph_tpu.sim.cameras import CameraRig
+from adaptigraph_tpu.sim.render import render_frame
+from adaptigraph_tpu.utils import geometry as geo
+
+CHUNK = 40  # capture granularity in sim steps (contact_interval)
+DEFAULT_MAX_CHUNKS = 72  # fixed trajectory capacity: 2880 steps incl. settle
+
+_PARTICLE_COLORS = {
+    "rope": np.array([0.5, 0.5, 1.0], np.float32),
+    "granular": np.array([237.0, 145.0, 33.0], np.float32) / 255.0,
+    "cloth": np.array([0.8, 0.5, 0.7], np.float32),
+}
+
+
+def _mat33_to_quat(m):
+    return geo.matrix_to_quat(m)
+
+
+class SimEnv:
+    """Push-based deformable manipulation environment."""
+
+    def __init__(self, config):
+        d = config["dataset"]
+        self.cfg = d
+        self.obj = d["obj"]
+        self.gripper = bool(d.get("gripper", False))
+        self.stick_len = float(d.get("pusher_len", 1.0))
+        self.speed = 1.0 / float(d.get("robot_speed_inv", 300))
+        self.action_space = float(d.get("action_space", 4.0))
+        self.screen = (int(d.get("screenHeight", 720)), int(d.get("screenWidth", 720)))
+        self.fps = bool(d.get("fps", False))
+        self.fps_number = int(d.get("fps_number", 2000))
+        self.rob_obj_dist_thresh = float(d.get("rob_obj_dist_thresh", 0.2))
+        self.contact_interval = int(d.get("contact_interval", 40))
+        self.non_contact_interval = int(d.get("non_contact_interval", 80))
+        self.camera = CameraRig(self.screen[1], self.screen[0])
+        self.camera_view = int(d.get("camera_view", 1))
+        self.max_chunks = int(d.get("max_chunks", DEFAULT_MAX_CHUNKS))
+        self.settle_steps = int(d.get("settle_steps", 200))
+        self.caps = MATERIAL_CAPS[self.obj]
+        self.wkspace_height = 0.5
+        self.wkspace_width = 3.5
+        self.wkspace_length = 4.5
+        self._chunk_fn = None
+        self.sampled_idx = None
+
+    # ---------- shape construction ----------
+
+    def _tool_slots(self):
+        """(kinds, sizes) for the tool shapes in slots 3.. of the shape set."""
+        if self.obj == "granular":  # flat board: thin box, width 1.0
+            return [SHAPE_BOX], [np.array([0.5, 0.3, 0.04])]
+        if self.gripper:  # two finger capsules (axis along local x = vertical)
+            return [SHAPE_CAPSULE, SHAPE_CAPSULE], [np.array([0.045, 0.3, 0.0])] * 2
+        # stick pusher: capsule of length stick_len
+        return [SHAPE_CAPSULE], [np.array([0.06, self.stick_len / 2, 0.0])]
+
+    def _build_shapes(self) -> ShapeSet:
+        # tables (flex_env.py:98-126)
+        robot_table_h = 0.5 + (1.0 if self.obj == "cloth" else 0.3)
+        rtw = 126.0 / 200
+        kinds = [SHAPE_PLANE, SHAPE_BOX, SHAPE_BOX]
+        sizes = [np.zeros(3),
+                 np.array([self.wkspace_width, self.wkspace_height, self.wkspace_length]),
+                 np.array([rtw, robot_table_h, rtw])]
+        poses = [np.zeros(3), np.zeros(3),
+                 np.array([-self.wkspace_width - rtw, 0.0, 0.0])]
+        tk, ts = self._tool_slots()
+        self.tool_slot0 = len(kinds)
+        self.n_tool = len(tk)
+        kinds += tk
+        sizes += ts
+        poses += [np.array([0.0, 20.0, 0.0])] * len(tk)  # parked far above
+        quats = [np.array([0.0, 0, 0, 1.0])] * len(kinds)
+        return make_shapes(kinds, sizes, poses, quats, m_max=self.caps.m)
+
+    def _tool_pose_arrays(self, eef_pos, tool_rot, grip_gap):
+        """Shape poses (M,3)+(M,4) for the current eef pose.
+
+        eef_pos: (..., 3) flex-frame tool-base position. tool_rot: (...,3,3)
+        tool frame (local z points down). grip_gap: (...,) finger separation.
+        """
+        shapes_pos = []
+        shapes_quat = []
+        down = tool_rot[..., :, 2]  # local z points down (pusher_orientation)
+        if self.obj == "granular":
+            # board: centered 1.0 below eef, box local axes = tool axes but
+            # box y vertical: construct rot with x=width axis, y=up, z=normal
+            x_axis = tool_rot[..., :, 0]
+            y_axis = -down
+            z_axis = jnp.cross(x_axis, y_axis)
+            rot = jnp.stack([x_axis, y_axis, z_axis], axis=-1)
+            center = eef_pos + down * (self.stick_len - 0.3)
+            shapes_pos.append(center)
+            shapes_quat.append(_mat33_to_quat(rot))
+        elif self.gripper:
+            y_axis = tool_rot[..., :, 1]
+            # capsule axis along local x must be vertical: x=down
+            rot = jnp.stack([down, tool_rot[..., :, 0], tool_rot[..., :, 1]], axis=-1)
+            q = _mat33_to_quat(rot)
+            c = eef_pos + down * (self.stick_len - 0.3)
+            for sgn in (1.0, -1.0):
+                shapes_pos.append(c + y_axis * (sgn * grip_gap[..., None] / 2))
+                shapes_quat.append(q)
+        else:
+            rot = jnp.stack([down, tool_rot[..., :, 0], tool_rot[..., :, 1]], axis=-1)
+            center = eef_pos + down * (self.stick_len / 2)
+            shapes_pos.append(center)
+            shapes_quat.append(_mat33_to_quat(rot))
+        return jnp.stack(shapes_pos, axis=-2), jnp.stack(shapes_quat, axis=-2)
+
+    # ---------- reset ----------
+
+    def reset(self, seed: int = 0, save_data: bool = False):
+        rng = np.random.RandomState(seed)
+        self.rng = np.random.RandomState(seed + 1000003)
+        shapes = self._build_shapes()
+        b = build_scene(self.obj, rng, shapes=shapes, caps=self.caps)
+        self.build = b
+        self.state, self.spec = b.state, b.spec
+        self.n_active = b.n_active
+        self.substeps, self.iterations = b.substeps, b.iterations
+        self.props = b.props
+        self.colors = np.tile(_PARTICLE_COLORS[self.obj][None], (self.caps.n, 1))
+        self._eef_prev = None
+        if self._chunk_fn is None:
+            self._compile_push()
+
+        # settle 200 frames (flex_env.py:246-247)
+        st = self.state
+        hold_pos = jnp.tile(st.shapes.pos[None], (self.settle_steps, 1, 1))
+        hold_quat = jnp.tile(st.shapes.quat[None], (self.settle_steps, 1, 1))
+        from adaptigraph_tpu.engine import rollout_steps
+
+        st, _ = rollout_steps(st, self.spec, hold_pos, hold_quat,
+                              substeps=self.substeps, iterations=self.iterations,
+                              record=False)
+        self.state = st
+
+        # FPS subsample indices for storage (flex_env.py:171-173)
+        if self.fps:
+            from adaptigraph_tpu.utils.host_fps import fps_with_idx
+
+            pts = np.asarray(st.particles.pos)[: self.n_active]
+            _, self.sampled_idx = fps_with_idx(pts, self.fps_number)
+        else:
+            self.sampled_idx = np.arange(self.n_active)
+
+        cam_pos, cam_ang, self.cam_intrinsic_params, self.cam_extrinsic_matrix = (
+            self.camera.multiview())
+        self._cam_pos, self._cam_ang = cam_pos, cam_ang
+
+        data = ([], [], [])  # imgs, particles, eef_states
+        if save_data:
+            self._store(data, store_tool_pose=self._parked_tool_pose())
+        return data
+
+    def _parked_tool_pose(self):
+        eef = jnp.array([0.0, 20.0, 0.0])
+        rot = jnp.eye(3)
+        return eef, rot
+
+    # ---------- the jitted push scan ----------
+
+    def _compile_push(self):
+        caps = self.caps
+        substeps, iterations = self.substeps, self.iterations
+        tool_slot0, n_tool = self.tool_slot0, self.n_tool
+        env = self
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def chunk_fn(state, spec, eefs, rots, gaps, atts, attach_idx, attach_rel):
+            """One CHUNK of sim steps as a single device program. Dispatching
+            per chunk (not per push) keeps programs small and lets the host
+            stream progress; `state` is donated so the scene buffers are
+            updated in place."""
+
+            def one_step(st, inp):
+                eef, rot, gap, att_on = inp
+                tp, tq = env._tool_pose_arrays(eef, rot, gap)
+                new_pos = st.shapes.pos.at[tool_slot0: tool_slot0 + n_tool].set(tp)
+                new_quat = st.shapes.quat.at[tool_slot0: tool_slot0 + n_tool].set(tq)
+                st = st._replace(shapes=st.shapes.moved_to(new_pos, new_quat))
+                # attachment: move grasped particles with the tool
+                p = st.particles
+                on = att_on > 0  # scalar per step
+                apos = eef[None, :] + (rot @ attach_rel.T).T
+                cur = p.pos[attach_idx]
+                tgt = jnp.where(on, apos, cur)
+                pos2 = p.pos.at[attach_idx].set(tgt)
+                w2 = p.inv_mass.at[attach_idx].set(
+                    jnp.where(on, 0.0, p.inv_mass[attach_idx]))
+                st = st._replace(particles=p._replace(pos=pos2, inv_mass=w2))
+                st = xpbd_step(st, spec, substeps, iterations)
+                return st, None
+
+            st, _ = jax.lax.scan(one_step, state, (eefs, rots, gaps, atts))
+            return st, st.particles.pos, jnp.isnan(st.particles.pos[:, 0]).any()
+
+        self._chunk_fn = chunk_fn
+
+    def _push_fn(self, state, spec, eef_traj, rot_traj, gap_traj, attach_idx,
+                 attach_rel, attach_active):
+        """Host loop over chunks; returns per-chunk-boundary records."""
+        eef_c = np.asarray(eef_traj).reshape(self.max_chunks, CHUNK, 3)
+        rot_c = np.asarray(rot_traj).reshape(self.max_chunks, CHUNK, 3, 3)
+        gap_c = np.asarray(gap_traj).reshape(self.max_chunks, CHUNK)
+        att_c = np.asarray(attach_active).reshape(self.max_chunks, CHUNK)
+        pos_rec, nan_any = [], False
+        st = state
+        for ci in range(self.max_chunks):
+            st, pos, nan = self._chunk_fn(
+                st, spec, jnp.array(eef_c[ci]), jnp.array(rot_c[ci]),
+                jnp.array(gap_c[ci]), jnp.array(att_c[ci]),
+                jnp.asarray(attach_idx), jnp.asarray(attach_rel))
+            pos_rec.append(np.asarray(pos))
+            if bool(np.asarray(nan)):
+                nan_any = True
+                break
+        while len(pos_rec) < self.max_chunks:
+            pos_rec.append(pos_rec[-1])
+        eef_rec = eef_c[:, -1]
+        rot_rec = rot_c[:, -1]
+        return st, np.stack(pos_rec), eef_rec, rot_rec, np.array([nan_any])
+
+    # ---------- step ----------
+
+    def step(self, action, save_data: bool = False, data=None):
+        """Execute one push. Returns (obs_img, data) or None on explosion."""
+        if data is None:
+            data = ([], [], [])
+        h = self.wkspace_height + self.stick_len
+        s = np.array([action[0], action[1], h])  # (x, z_action, height)
+        e = np.array([action[2], action[3], h])
+        d = s[:2] - e[:2]
+        pusher_angle = np.pi / 2 if d[0] == 0 else np.arctan(d[1] / d[0])
+
+        if self.gripper:
+            wps = [s + [0, 0, 0.5], s, s, e + [0, 0, 0.5], e]
+        else:
+            wps = [s + [0, 0, 0.2], s, e, e + [0, 0, 0.2]]
+
+        # interpolate waypoints at robot speed (flex_env.py:289-295)
+        eef_list, seg_id = [], []
+        for i_p in range(len(wps) - 1):
+            a, b = wps[i_p], wps[i_p + 1]
+            steps = int(np.linalg.norm(b - a) / self.speed) + 1
+            for i in range(steps):
+                eef_list.append(a + (b - a) * i / steps)
+                seg_id.append(i_p)
+        traj = np.array(eef_list, dtype=np.float32)
+        seg_id = np.array(seg_id)
+        t_push = len(traj)
+        total = self.max_chunks * CHUNK
+        if t_push > total - self.settle_steps:
+            keep = total - self.settle_steps
+            traj, seg_id = traj[:keep], seg_id[:keep]
+            t_push = keep
+        # hold at the final retracted pose for the remaining steps (includes
+        # the 200-frame settle, flex_env.py:392-393)
+        pad = total - t_push
+        traj = np.concatenate([traj, np.tile(traj[-1][None], (pad, 1))], 0)
+        seg_id = np.concatenate([seg_id, np.full(pad, seg_id[-1])])
+
+        # action frame -> flex frame: (x, z_a, h) -> (x, h, -z_a)
+        eef_flex = np.stack([traj[:, 0], traj[:, 2], -traj[:, 1]], 1)
+
+        rot = np.asarray(jax.device_get(
+            jnp.asarray(_rot_host(pusher_angle), dtype=jnp.float32)))
+        rot_traj = np.tile(rot[None], (total, 1, 1)).astype(np.float32)
+
+        # gripper schedule
+        gap_traj = np.full(total, 0.4, np.float32)
+        attach_active = np.zeros(total, np.float32)
+        attach_idx = np.zeros(10, np.int64)
+        attach_rel = np.zeros((10, 3), np.float32)
+        if self.gripper:
+            grasp_t = int(np.nonzero(seg_id >= 1)[0][0]) if (seg_id >= 1).any() else 0
+            close_t = min(grasp_t + 50, total)
+            gap_traj[grasp_t:close_t] = np.linspace(0.4, 0.05, close_t - grasp_t)
+            gap_traj[close_t:t_push] = 0.05
+            release_t = t_push
+            attach_active[close_t:release_t] = 1.0
+            # pick k=5 nearest particles to the grasp point (flex_env.py:330-336)
+            grasp_world = np.array([s[0], s[2] - self.stick_len, -s[1]], np.float32)
+            pts = np.asarray(self.state.particles.pos)[: self.n_active]
+            near = np.argsort(np.linalg.norm(pts - grasp_world, axis=1))[:5]
+            attach_idx = np.concatenate([near, near]).astype(np.int64)[:10]
+            # offsets in tool frame: from eef to the particle at grasp time
+            eef0 = eef_flex[grasp_t]
+            attach_rel = ((pts[attach_idx % self.n_active] - eef0) @ rot).astype(np.float32)
+
+        st, pos_rec, eef_rec, rot_rec, nan_rec = self._push_fn(
+            self.state, self.spec, eef_flex, rot_traj, gap_traj, attach_idx,
+            attach_rel, attach_active)
+
+        if bool(np.asarray(nan_rec).any()):
+            print("simulator exploded when action is", action)
+            return None
+        # restore grasped particle mass (flex_env.py:384-388)
+        if self.gripper:
+            w = st.particles.inv_mass.at[jnp.array(attach_idx)].set(
+                self.build.state.particles.inv_mass[jnp.array(attach_idx)])
+            st = st._replace(particles=st.particles._replace(inv_mass=w))
+        self.state = st
+
+        if save_data:
+            self._capture_push(data, pos_rec, eef_rec, rot_rec, t_push)
+
+        obs = self.render()
+        return obs, data
+
+    def _capture_push(self, data, pos_rec, eef_rec, rot_rec, t_push):
+        """Select chunk boundaries per the contact-gated cadence and record
+        frames (flex_env.py:369-376 semantics at CHUNK granularity)."""
+        n_chunks_active = min((t_push + CHUNK - 1) // CHUNK, self.max_chunks)
+        for ci in range(self.max_chunks):
+            step_idx = (ci + 1) * CHUNK
+            pts = pos_rec[ci][: self.n_active]
+            eef = eef_rec[ci]
+            dist = np.min(np.linalg.norm(pts[:, [0, 2]] - eef[None, [0, 2]], axis=1))
+            if ci < n_chunks_active:
+                in_contact = dist < self.rob_obj_dist_thresh
+                interval = self.contact_interval if in_contact else self.non_contact_interval
+                if step_idx % interval != 0:
+                    continue
+            elif ci != self.max_chunks - 1:
+                continue  # during settle only the final frame is stored
+            self._store(data, particles=pos_rec[ci],
+                        store_tool_pose=(jnp.array(eef_rec[ci]), jnp.array(rot_rec[ci])))
+
+    # ---------- capture / render ----------
+
+    def _eef_states_from_pose(self, eef, rot):
+        """(n_eef, 14) shape-state rows for the tool link(s): pos, prev_pos,
+        quat, prev_quat — the schema of pyflex shape states consumed by
+        preprocessing (preprocess.py:22-49)."""
+        quat = np.asarray(_mat33_to_quat(jnp.asarray(rot)))
+        pos = np.asarray(eef)
+        if self._eef_prev is None:
+            prev_pos, prev_quat = pos, quat
+        else:
+            prev_pos, prev_quat = self._eef_prev
+        self._eef_prev = (pos, quat)
+        n_eef = 2 if self.gripper else 1
+        row = np.concatenate([pos, prev_pos, quat, prev_quat]).astype(np.float32)
+        return np.tile(row[None], (n_eef, 1))
+
+    def _store(self, data, particles=None, store_tool_pose=None):
+        imgs_list, particle_list, eef_list = data
+        if particles is None:
+            particles = np.asarray(self.state.particles.pos)
+        particle_list.append(particles[self.sampled_idx].copy()
+                             if self.fps else particles[: self.n_active].copy())
+        eef, rot = store_tool_pose
+        eef_list.append(self._eef_states_from_pose(eef, rot))
+        imgs = self._render_multiview(particles)
+        imgs_list.append(imgs)
+
+    def _render_multiview(self, particles):
+        H, W = self.screen
+        frames = []
+        shapes = self.state.shapes
+        for ci in range(4):
+            fwd = _fwd_from_angle(self._cam_ang[ci])
+            f = render_frame(jnp.asarray(particles), jnp.asarray(self.colors),
+                             self.state.particles.active, shapes,
+                             jnp.asarray(self._cam_pos[ci]), jnp.asarray(fwd),
+                             jnp.asarray(self.camera.intrinsics()), width=W, height=H)
+            frames.append(np.asarray(f))
+        return np.stack(frames)
+
+    def render(self, no_return: bool = False):
+        if no_return:
+            return None
+        H, W = self.screen
+        pos, ang = self.camera.single_view(self.camera_view)
+        fwd = _fwd_from_angle(ang)
+        f = render_frame(self.state.particles.pos, jnp.asarray(self.colors),
+                         self.state.particles.active, self.state.shapes,
+                         jnp.asarray(pos, dtype=jnp.float32), jnp.asarray(fwd),
+                         jnp.asarray(self.camera.intrinsics()), width=W, height=H)
+        return np.asarray(f)
+
+    # ---------- action sampling ----------
+
+    def get_positions(self):
+        return np.asarray(self.state.particles.pos)[: self.n_active]
+
+    def get_property_params(self):
+        return self.props
+
+    def sample_action(self, init=False, boundary_points=None, boundary=None):
+        if self.obj in ("rope", "granular"):
+            return self.sample_deform_actions()
+        elif self.obj == "cloth":
+            return self.sample_grasp_actions_corner(init, boundary_points, boundary)
+        raise ValueError(f"no action sampler for {self.obj}")
+
+    def sample_deform_actions(self):
+        """Push toward a central object point from a free start
+        (flex_env.py:424-470 semantics)."""
+        positions = self.get_positions().copy()
+        positions[:, 2] *= -1  # flex z -> action frame
+        pos_xz = positions[:, [0, 2]]
+        center = np.median(pos_xz, axis=0)
+        chosen = np.nonzero(np.linalg.norm(pos_xz - center, axis=1) < 2.0)[0]
+        if len(chosen) == 0:
+            chosen = np.arange(len(positions))
+        for _ in range(1000):
+            start = self.rng.uniform(-self.action_space, self.action_space, size=2)
+            pick = self.rng.choice(chosen)
+            obj_pos = pos_xz[pick]
+            if obj_pos[0] == start[0]:
+                continue
+            slope = (obj_pos[1] - start[1]) / (obj_pos[0] - start[0])
+            x_end = obj_pos[0] + (1.0 if obj_pos[0] >= start[0] else -1.0)
+            y_end = slope * (x_end - start[0]) + start[1]
+            if (abs(x_end) < 1.5 and abs(y_end) < 1.5
+                    and np.min(np.linalg.norm(pos_xz - start[None], axis=1)) > 0.2):
+                return np.array([start[0], start[1], x_end, y_end])
+        return None
+
+    def sample_grasp_actions_corner(self, init=False, boundary_points=None, boundary=None):
+        """Grasp a cloth boundary point and pull outward (flex_env.py:472-525)."""
+        positions = self.get_positions().copy()
+        positions[:, 2] *= -1
+        x, z = positions[:, 0], positions[:, 2]
+        if init:
+            boundary_points, boundary = [], []
+            for idx in range(len(positions)):
+                if x[idx] == x.max():
+                    boundary_points.append(idx); boundary.append(1)
+                elif x[idx] == x.min():
+                    boundary_points.append(idx); boundary.append(2)
+                elif z[idx] == z.max():
+                    boundary_points.append(idx); boundary.append(3)
+                elif z[idx] == z.min():
+                    boundary_points.append(idx); boundary.append(4)
+        action = None
+        for _ in range(1000):
+            pick = self.rng.choice(len(boundary_points))
+            start = positions[boundary_points[pick]][[0, 2]]
+            end = start.copy()
+            move = self.rng.uniform(1.0, 1.5)
+            side = boundary[pick]
+            if side == 1:
+                end[0] += move
+            elif side == 2:
+                end[0] -= move
+            elif side == 3:
+                end[1] += move
+            else:
+                end[1] -= move
+            if abs(end[0]) < 3.5 and abs(end[1]) < 2.5:
+                action = np.concatenate([start, end])
+                break
+        return action, boundary_points, boundary
+
+    def close(self):
+        pass
+
+
+def _rot_host(pusher_angle):
+    from adaptigraph_tpu.sim.robot import pusher_orientation
+
+    return pusher_orientation(jnp.float32(pusher_angle))
+
+
+def _fwd_from_angle(ang):
+    yaw, pitch = float(ang[0]), float(ang[1])
+    return np.array([-np.sin(yaw) * np.cos(pitch), np.sin(pitch),
+                     -np.cos(yaw) * np.cos(pitch)], dtype=np.float32)

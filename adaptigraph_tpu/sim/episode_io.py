@@ -1,0 +1,89 @@
+"""Episode serialization: the h5 schema of the reference pipeline.
+
+Schema (src/sim/data_gen/data.py:4-65, README.md:141-156):
+  info/{n_cams, timestamp, n_particles}
+  action                      (action_dim,)
+  positions                   (T, N, 3) float
+  eef_states                  (T, N_eef, 14) float
+  observations/color/cam_{i}  (T, H, W, 3) uint8 RGB
+  observations/depth/cam_{i}  (T, H, W) uint16 depth in mm
+
+Color channels are flipped BGR->RGB and depth scaled x1000 exactly like
+process_imgs (data.py:39-52). The renderer emits (T, n_cam, H, W, 5)
+float frames [RGB, alpha, metric depth].
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import h5py
+import numpy as np
+
+
+def process_imgs(imgs_list: np.ndarray):
+    t, n_cam = imgs_list.shape[:2]
+    color, depth = {}, {}
+    for c in range(n_cam):
+        img = imgs_list[:, c]
+        rgb = img[..., :3][..., ::-1]  # data.py:46 channel flip
+        color[f"cam_{c}"] = (np.clip(rgb, 0.0, 1.0) * 255).astype(np.uint8)
+        depth[f"cam_{c}"] = (img[..., -1] * 1000).astype(np.uint16)
+    return color, depth
+
+
+def store_data(filename: str, data, action: np.ndarray):
+    imgs_list, particle_list, eef_list = data
+    imgs = np.array(imgs_list)
+    particles = np.array(particle_list)
+    eefs = np.array(eef_list)
+    t, n_cam = imgs.shape[:2]
+    color, depth = process_imgs(imgs)
+    episode = {
+        "info": {"n_cams": n_cam, "timestamp": t, "n_particles": particles.shape[1]},
+        "action": np.asarray(action),
+        "positions": particles.astype(np.float32),
+        "eef_states": eefs.astype(np.float32),
+        "observations": {"color": color, "depth": depth},
+    }
+    save_data(filename, episode)
+
+
+def save_data(filename: str, episode: dict):
+    with h5py.File(filename, "w") as f:
+        for key, value in episode.items():
+            if key == "observations":
+                for sub, d in value.items():
+                    for cam, arr in d.items():
+                        f.create_dataset(f"{key}/{sub}/{cam}", data=arr)
+            elif key == "info":
+                for sub, v in value.items():
+                    f.create_dataset(f"{key}/{sub}", data=v)
+            else:
+                f.create_dataset(key, data=value)
+
+
+def load_data(filename: str) -> dict:
+    out = {}
+    with h5py.File(filename, "r") as f:
+        for key in f.keys():
+            if key == "observations":
+                out[key] = {}
+                for sub in f[key]:
+                    out[key][sub] = {cam: f[key][sub][cam][()] for cam in f[key][sub]}
+            elif key == "info":
+                out[key] = {sub: f[key][sub][()] for sub in f[key]}
+            else:
+                out[key] = f[key][()]
+    return out
+
+
+def save_property_params(epi_dir: str, props: dict):
+    with open(os.path.join(epi_dir, "property_params.pkl"), "wb") as f:
+        pickle.dump(props, f)
+
+
+def load_property_params(epi_dir: str) -> dict:
+    with open(os.path.join(epi_dir, "property_params.pkl"), "rb") as f:
+        return pickle.load(f)
