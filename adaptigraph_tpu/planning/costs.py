@@ -1,0 +1,127 @@
+"""Planning reward assembly: target costs + collision/workspace penalties.
+
+Port of src/planning/losses.py:26-92 and the reward assembly in
+src/planning/plan.py:27-59 — chamfer-to-target-pointcloud or box-distance
+error, material-specific pusher-through-object collision penalties, and a
+keep-inside-workspace bbox penalty, combined as
+reward = -w_err * error - 5 * collision - 5 * box_penalty.
+All pure jnp, vmappable over the MPPI population.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.ops import box_loss, chamfer
+
+
+def rope_penalty(state_pred, action, state_init, sim_real_ratio: float = 10.0):
+    """Penalize push start points far from the object (losses.py:37-48):
+    a push that never touches the rope wastes an interaction."""
+    bsz, n_look, _ = action.shape
+    pt = action[..., :2]  # (bsz, n_look, 2) start xz
+    state_2d = jnp.concatenate(
+        [jnp.tile(state_init[None, None, :, [0, 2]], (bsz, 1, 1, 1)),
+         state_pred[:, :-1][..., [0, 2]]], axis=1)
+    d = jnp.linalg.norm(pt[:, :, None] - state_2d, axis=-1).min(axis=-1)
+    pusher_size = 0.02 * sim_real_ratio
+    d = jnp.maximum(d - pusher_size, 0.0)
+    return jnp.exp(-d * 100.0)
+
+
+def cloth_penalty(state_pred, action, state_init, sim_real_ratio: float = 10.0):
+    """Grasp-point feasibility for cloth (losses.py:50-64)."""
+    bsz, n_look, _ = action.shape
+    pt = action[..., :2]
+    state_2d = state_init[:, [0, 2]]
+    d = jnp.linalg.norm(pt[:, :, None] - state_2d[None, None], axis=-1)
+    dmin = d.min(axis=-1)
+    pusher_size = 0.005 * sim_real_ratio
+    dmin = jnp.maximum(dmin - pusher_size, 0.0)
+    dmax = jnp.minimum(d.max(axis=-1), 0.4 * sim_real_ratio)
+    dmax = dmax / (jnp.max(dmax) + 1e-9)
+    return 1.0 - jnp.exp(-dmin * 100.0) - dmax * 0.2
+
+
+def granular_penalty(state_pred, action, state_init, sim_real_ratio: float = 10.0):
+    """Board-pusher collision: 9 sample points across the board width
+    (losses.py:66-92)."""
+    bsz, n_look, _ = action.shape
+    x, z, theta = action[..., 0], action[..., 1], action[..., 2]
+    r = 0.05 * sim_real_ratio
+    dx = r * jnp.sin(theta)
+    dz = -r * jnp.cos(theta)
+    fr = jnp.linspace(-1.0, 1.0, 9)
+    px = x[..., None] + fr * dx[..., None]
+    pz = z[..., None] + fr * dz[..., None]
+    pts = jnp.stack([px, pz], axis=-1)  # (bsz, n_look, 9, 2)
+    state_2d = jnp.concatenate(
+        [jnp.tile(state_init[None, None, :, [0, 2]], (bsz, 1, 1, 1)),
+         state_pred[:, :-1][..., [0, 2]]], axis=1)
+    d = jnp.linalg.norm(pts[:, :, :, None] - state_2d[:, :, None], axis=-1)
+    d = d.min(axis=-1).min(axis=-1)
+    pusher_size = 0.02 * sim_real_ratio
+    d = jnp.maximum(d - pusher_size, 0.0)
+    return jnp.exp(-d * 100.0)
+
+
+PENALTIES = {"rope": rope_penalty, "cloth": cloth_penalty, "granular": granular_penalty}
+
+
+def make_error_fn(task_config, target_state=None, target_box=None):
+    """error_func(state (B, N, 3)) -> (B,) per plan.py target handling."""
+    if task_config["target_type"] == "box":
+        box = jnp.asarray(target_box if target_box is not None
+                          else task_config["target"], dtype=jnp.float32)
+        box = box.reshape(2, 2)
+
+        def err(state, mask=None):
+            return box_loss(state, box)
+    else:
+        tgt = jnp.asarray(target_state, dtype=jnp.float32)
+
+        def err(state, mask=None):
+            return chamfer(state, jnp.tile(tgt[None], (state.shape[0], 1, 1)),
+                           x_mask=mask)
+    return err
+
+
+def running_cost(state, action, state_cur, error_func, penalty_func, bbox,
+                 obj_mask=None):
+    """Reward assembly (plan.py:27-59).
+
+    state: (bsz, n_look, N, 3) predicted states; action: (bsz, n_look, 4);
+    state_cur: (N, 3); bbox: (2, 2) workspace box. Returns {'reward_seqs'}."""
+    bsz, n_look = state.shape[0], state.shape[1]
+    flat = state.reshape(bsz * n_look, state.shape[2], 3)
+    mask_flat = None
+    if obj_mask is not None:
+        mask_flat = jnp.tile(obj_mask[None], (bsz * n_look, 1))
+    error = error_func(flat, mask_flat).reshape(bsz, n_look)
+    error_weight = 2.0 / (jnp.max(error) + 1e-6)
+
+    collision = penalty_func(state, action, state_cur)
+
+    big = 1e6
+    if obj_mask is not None:
+        m = obj_mask[None, None, :, None]
+        lo_state = jnp.where(m, state, big)
+        hi_state = jnp.where(m, state, -big)
+    else:
+        lo_state, hi_state = state, state
+    xmin = lo_state.min(axis=2)[..., 0]
+    zmin = lo_state.min(axis=2)[..., 2]
+    xmax = hi_state.max(axis=2)[..., 0]
+    zmax = hi_state.max(axis=2)[..., 2]
+    box_pen = jnp.stack([
+        jnp.maximum(xmin - bbox[0, 0], 0.0),
+        jnp.maximum(bbox[0, 1] - xmax, 0.0),
+        jnp.maximum(zmin - bbox[1, 0], 0.0),
+        jnp.maximum(bbox[1, 1] - zmax, 0.0),
+    ], axis=-1)
+    box_pen = jnp.exp(-box_pen * 100.0).max(axis=-1)
+
+    reward = (-error_weight * error[:, -1] - 5.0 * collision.mean(axis=1)
+              - 5.0 * box_pen.mean(axis=1))
+    return {"reward_seqs": reward, "error_seqs": error[:, -1]}

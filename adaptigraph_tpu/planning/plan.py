@@ -1,0 +1,231 @@
+"""Closed-loop planning with online physics-parameter adaptation.
+
+Port of the reference's planning app (src/planning/plan.py:62-339):
+perceive -> MPPI over the full sampled-action population -> execute ->
+re-perceive -> log the interaction -> refine the physics-parameter estimate.
+
+Differences by design:
+  * the environment is pluggable: `--env sim` closes the loop against the
+    on-device particle engine (SimEnv) with perception running on rendered
+    frames — the framework's hardware-free acceptance path; `--env real`
+    plugs the real_world layer (xArm6 + RealSense) behind the same API.
+  * the 20 000-sample population is ONE vmapped rollout per MPPI iteration
+    (no 500-sample chunk loop; planner.py here vs plan.py:241-247).
+  * --resume restarts from saved interaction_*.npz (plan.py:114-126).
+
+Planning frame: x right, y up, z = negated flex-z (the action frame of
+SimEnv.sample_action and the reference's real-world table frame x10).
+
+Usage:
+  python -m adaptigraph_tpu.planning.plan --task-config planning/rope \
+      --env sim [--use-ppo] [--n-actions 10] [--n-sample 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.dynamics.dataset import DynDataset
+from adaptigraph_tpu.dynamics.train import init_model, load_checkpoint
+from adaptigraph_tpu.planning.actions import decode_action_single
+from adaptigraph_tpu.planning.costs import PENALTIES, make_error_fn, running_cost
+from adaptigraph_tpu.planning.forward_dynamics import make_batched_dynamics
+from adaptigraph_tpu.planning.perception import PerceptionModule
+from adaptigraph_tpu.planning.physics_optimizer import PhysicsParamOnlineOptimizer
+from adaptigraph_tpu.planning.planner import Planner
+from adaptigraph_tpu.utils import load_config
+
+
+def flex_to_plan(points):
+    """World (flex) -> planning frame: negate z."""
+    out = np.asarray(points).copy()
+    out[..., 2] *= -1
+    return out
+
+
+class SimPlanEnv:
+    """SimEnv wrapped behind the planning-environment interface
+    (RealEnv.get_obs/step duals, real_env.py:127-240)."""
+
+    def __init__(self, data_gen_config, seed=0):
+        from adaptigraph_tpu.sim.env import SimEnv
+
+        self.env = SimEnv(data_gen_config)
+        self.env.reset(seed=seed)
+        self.cam_intr = self.env.cam_intrinsic_params
+        self.cam_extr = self.env.cam_extrinsic_matrix
+
+    def get_obs(self):
+        imgs = self.env._render_multiview(np.asarray(self.env.state.particles.pos))
+        colors = imgs[:, :, :, :3]
+        depths = imgs[:, :, :, 4]
+        return colors, depths
+
+    def step(self, action4):
+        return self.env.step(np.asarray(action4), save_data=False)
+
+
+def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=None,
+         n_update_iter=2, ckpt="latest", resume=False, seed=0,
+         reward_mode="target"):
+    os.makedirs(save_dir, exist_ok=True)
+    tc = task_config
+    material = tc["material"]
+    sim_real_ratio = float(tc["sim_real_ratio"])
+
+    # model + checkpoint
+    dyn_config = load_config(tc["config"])
+    dataset = DynDataset(dyn_config["dataset_config"], dyn_config["material_config"],
+                         "valid")
+    model, params0 = init_model(dyn_config, dataset)
+    ckpt_dir = os.path.join(dyn_config["train_config"]["out_dir"],
+                            dyn_config["dataset_config"]["data_name"], "checkpoints")
+    params = load_checkpoint(ckpt_dir, ckpt, params0)
+
+    perception = PerceptionModule(tc)
+    ppm = PhysicsParamOnlineOptimizer(tc, model, params, material, save_dir)
+    rollout = make_batched_dynamics(model, tc)
+
+    # reward: target box/pcd in planning-frame sim units ('change' mode binds
+    # its objective per iteration instead)
+    error_fn = None
+    if reward_mode == "target":
+        if tc["target_type"] == "box":
+            box = np.asarray(tc["target"], np.float32).reshape(2, 2) * sim_real_ratio
+            error_fn = make_error_fn({"target_type": "box", "target": box.reshape(-1)})
+        else:
+            target_state = np.load(tc["target"]) * sim_real_ratio
+            error_fn = make_error_fn({"target_type": "pcd"}, target_state=target_state)
+    penalty_fn = PENALTIES[tc["penalty_type"]]
+    bbox = np.asarray(tc["bbox"], np.float32)
+    bbox_plan = jnp.asarray(
+        [[bbox[0] * sim_real_ratio, bbox[3] * sim_real_ratio],
+         [bbox[2] * sim_real_ratio, bbox[5] * sim_real_ratio]])
+
+    n_actions = n_actions or int(tc["n_actions"])
+    n_sample = n_sample or int(tc["n_sample"])
+    max_nobj = int(tc["max_nobj"])
+
+    start_i = 0
+    if resume:
+        import glob
+
+        start_i = len(glob.glob(os.path.join(save_dir, "interaction_*.npz")))
+
+    key = jax.random.PRNGKey(seed)
+    stats = []
+    for i in range(start_i, n_actions):
+        colors, depths, intrs, extrs = _observe(env)
+        state_cur_raw, _ = perception.get_state_cur(colors, depths, intrs, extrs)
+        state_cur = flex_to_plan(state_cur_raw)
+        nobj = min(len(state_cur), max_nobj)
+        state_pad = np.zeros((max_nobj, 3), np.float32)
+        state_pad[:nobj] = state_cur[:nobj]
+        obj_mask = np.zeros(max_nobj, bool)
+        obj_mask[:nobj] = True
+
+        phys = jnp.asarray(ppm.physics_param[material])
+
+        if reward_mode == "change":
+            # exploration objective: maximize state change
+            # (random_interact.py:26-55)
+            from adaptigraph_tpu.ops import chamfer as _chamfer
+
+            _sc = jnp.asarray(state_pad)
+            _scm = jnp.asarray(obj_mask)
+
+            def error_fn(state, mask=None):  # noqa: F811 — per-iteration bind
+                tgt = jnp.tile(_sc[None], (state.shape[0], 1, 1))
+                tm = jnp.tile(_scm[None], (state.shape[0], 1))
+                return -_chamfer(state, tgt, x_mask=mask, y_mask=tm)
+
+        def model_rollout(sc, act_seqs):
+            return rollout(params, jnp.asarray(state_pad), jnp.asarray(obj_mask),
+                           act_seqs, phys)
+
+        def evaluate(state_seqs, act_seqs, state_cur=None, **kw):
+            return running_cost(state_seqs, act_seqs, jnp.asarray(state_pad),
+                                error_fn, penalty_fn, bbox_plan,
+                                obj_mask=jnp.asarray(obj_mask))
+
+        planner = Planner({
+            "action_dim": 4,
+            "model_rollout_fn": model_rollout,
+            "evaluate_traj_fn": evaluate,
+            "n_sample": n_sample,
+            "n_look_ahead": int(tc["n_look_ahead"]),
+            "n_update_iter": n_update_iter,
+            "reward_weight": float(tc["reward_weight"]),
+            "action_lower_lim": np.asarray(tc["action_lower_lim"], np.float32),
+            "action_upper_lim": np.asarray(tc["action_upper_lim"], np.float32),
+            "planner_type": "MPPI",
+            "noise_level": float(tc["noise_level"]),
+            "push_length": float(tc["push_length"]),
+        })
+        key, sub = jax.random.split(key)
+        init_act = jnp.tile(
+            jnp.asarray([[-1.0, 0.0, 0.0, float(tc["action_lower_lim"][3])]],
+                        jnp.float32), (int(tc["n_look_ahead"]), 1))
+        res = planner.trajectory_optimization(jnp.asarray(state_pad), init_act,
+                                              key=sub)
+        act = np.asarray(res["act_seq"][0])
+        state_pred = np.asarray(res["best_model_output"]["state_seqs"][0, -1])
+        reward = float(res["best_eval_output"]["reward_seqs"][0])
+        print(f"action {i}: act {np.round(act, 3)} reward {reward:.4f}", flush=True)
+
+        xs, zs, xe, ze = decode_action_single(act, float(tc["push_length"]))
+        env.step(np.array([xs, zs, xe, ze]))
+
+        colors, depths, intrs, extrs = _observe(env)
+        state_real_raw, _ = perception.get_state_cur(colors, depths, intrs, extrs)
+        state_real = flex_to_plan(state_real_raw)
+
+        ppm.log_interaction(i, act, state_cur[:nobj], state_pred[:nobj], state_real)
+        err_fin = float(error_fn(jnp.asarray(state_real)[None])[0])
+        stats.append((i, reward, err_fin))
+        print(f"action {i}: final error {err_fin:.4f}", flush=True)
+
+        if use_ppo:
+            ppm.optimize(i, iterations=int(os.environ.get("PPO_ITERS", 50)))
+
+    np.savetxt(os.path.join(save_dir, "stats.txt"), np.asarray(stats))
+    return stats
+
+
+def _observe(env):
+    colors, depths = env.get_obs()
+    return colors, depths, env.cam_intr, env.cam_extr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task-config", type=str, default="planning/rope")
+    ap.add_argument("--env", type=str, default="sim", choices=["sim", "real"])
+    ap.add_argument("--use-ppo", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--n-actions", type=int, default=None)
+    ap.add_argument("--n-sample", type=int, default=None)
+    ap.add_argument("--name", type=str, default="dump/plan")
+    ap.add_argument("--ckpt", type=str, default="latest")
+    args = ap.parse_args()
+
+    tc = load_config(args.task_config)["task_config"]
+    if args.env == "sim":
+        dg = load_config(f"data_gen/{tc['material']}")
+        env = SimPlanEnv(dg)
+    else:
+        from adaptigraph_tpu.planning.real_world.real_env import RealEnv
+
+        env = RealEnv(task_config=tc)
+        env.start()
+    plan(tc, env, args.name, use_ppo=args.use_ppo, n_actions=args.n_actions,
+         n_sample=args.n_sample, ckpt=args.ckpt, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+#!/bin/sh
+# Build the native runtime pieces into adaptigraph_tpu/native/.
+set -e
+cd "$(dirname "$0")"
+mkdir -p ../adaptigraph_tpu/native
+g++ -O2 -shared -fPIC -std=c++17 shm_ring.cpp -o ../adaptigraph_tpu/native/libshm_ring.so
+echo "built ../adaptigraph_tpu/native/libshm_ring.so"

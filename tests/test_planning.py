@@ -1,0 +1,182 @@
+"""Planning stack tests: action ops, optimizers, batched rollouts, MPPI."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adaptigraph_tpu.planning.actions import (
+    decode_action, decode_action_single, sample_action_seq, optimize_action_mppi,
+    clip_actions,
+)
+from adaptigraph_tpu.planning.optim import CMAES, GaussianProcess, gp_minimize_ei
+from adaptigraph_tpu.planning.costs import running_cost, make_error_fn, PENALTIES
+from adaptigraph_tpu.planning.planner import Planner
+
+LOWER = jnp.array([-4.5, -2.5, -3.14, 2.0])
+UPPER = jnp.array([0.0, 4.5, 3.14, 10.0])
+
+
+class TestActions:
+    def test_decode_matches_single(self):
+        a = jnp.array([[[-1.0, 0.5, 0.7, 3.0]]])
+        dec, rep = decode_action(a, push_length=0.2)
+        assert int(rep[0, 0]) == 3
+        xs, zs, xe, ze = decode_action_single(np.array([-1.0, 0.5, 0.7, 3.0]), 0.2)
+        # decode_action gives ONE push_length step; single gives full extent
+        np.testing.assert_allclose(float(dec[0, 0, 2]), xs - 0.2 * np.cos(0.7), rtol=1e-5)
+        np.testing.assert_allclose(xe, xs - 3 * 0.2 * np.cos(0.7), rtol=1e-5)
+
+    def test_sample_iter0_in_box(self):
+        seqs = sample_action_seq(jnp.zeros((1, 4)), LOWER, UPPER, 64,
+                                 jax.random.PRNGKey(0), iter_index=0)
+        assert seqs.shape == (64, 1, 4)
+        assert bool(jnp.all(seqs >= LOWER)) and bool(jnp.all(seqs <= UPPER))
+
+    def test_sample_later_keeps_incumbent(self):
+        inc = jnp.array([[-2.0, 1.0, 0.5, 4.0]])
+        seqs = sample_action_seq(inc, LOWER, UPPER, 32, jax.random.PRNGKey(1),
+                                 iter_index=1)
+        np.testing.assert_allclose(np.asarray(seqs[0]), np.asarray(inc), atol=1e-6)
+        # others are perturbed
+        assert np.abs(np.asarray(seqs[1:]) - np.asarray(inc)).max() > 1e-3
+
+    def test_mppi_update_prefers_high_reward(self):
+        acts = jnp.stack([jnp.array([[-3.0, 0.0, 0.0, 4.0]]),
+                          jnp.array([[-1.0, 2.0, 1.0, 6.0]])])
+        rewards = jnp.array([-10.0, 10.0])
+        out = optimize_action_mppi(acts, rewards, reward_weight=100.0,
+                                   lower=LOWER, upper=UPPER)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(acts[1]), atol=1e-3)
+
+    def test_clip_normalizes_angle(self):
+        a = jnp.array([[0.0, 0.0, 3.5 * np.pi, 5.0]])
+        out = clip_actions(a, LOWER, UPPER)
+        assert -np.pi <= float(out[0, 2]) <= np.pi
+
+
+class TestOptim:
+    def test_gp_fit_predict(self):
+        x = np.linspace(0, 1, 8)[:, None]
+        y = np.sin(3 * x[:, 0])
+        gp = GaussianProcess(length_scale=0.5, noise=1e-6).fit(x, y)
+        mu, sd = gp.predict(x)
+        np.testing.assert_allclose(mu, y, atol=1e-3)
+        assert sd.max() < 0.05
+
+    def test_gp_ei_finds_minimum(self):
+        f = lambda x: float((x[0] - 0.37) ** 2)
+        res = gp_minimize_ei(f, [(-0.2, 1.2)], n_calls=30, n_initial=10,
+                             noise_level=1e-4, random_state=0)
+        assert abs(res["expected_x"][0] - 0.37) < 0.05
+        assert res["fun"] < 0.01
+
+    def test_cmaes_minimizes_quadratic(self):
+        f = lambda x: float(np.sum((x - np.array([0.3, -0.1])) ** 2))
+        es = CMAES([0.5, 0.5], sigma=0.2, bounds=(-0.2, 1.2), seed=1)
+        x, fv = es.optimize(f, iterations=40)
+        # bounds clip the -0.1 target to -0.2..; the x[1] optimum inside the
+        # box is -0.1 (inside) — check convergence
+        np.testing.assert_allclose(x, [0.3, -0.1], atol=0.05)
+
+
+class TestCosts:
+    def test_running_cost_prefers_target_progress(self):
+        task = {"target_type": "box", "target": [-1.0, 1.0, -1.0, 1.0]}
+        err = make_error_fn(task)
+        pen = PENALTIES["rope"]
+        bbox = jnp.array([[-5.0, 5.0], [-5.0, 5.0]])
+        state_cur = jnp.zeros((10, 3))
+        inside = jnp.zeros((1, 1, 10, 3))
+        outside = inside + jnp.array([4.0, 0.0, 0.0])
+        action = jnp.array([[[0.1, 0.0, 0.0, 2.0]]])
+        r_in = running_cost(inside, action, state_cur, err, pen, bbox)["reward_seqs"]
+        r_out = running_cost(outside, action, state_cur, err, pen, bbox)["reward_seqs"]
+        assert float(r_in[0]) > float(r_out[0])
+
+    def test_penalty_rewards_contact(self):
+        pen = PENALTIES["rope"]
+        state_init = jnp.zeros((10, 3))
+        pred = jnp.zeros((2, 1, 10, 3))
+        near = jnp.array([[[0.05, 0.0, 0.0, 2.0]]])
+        far = jnp.array([[[3.0, 3.0, 0.0, 2.0]]])
+        p_near = pen(pred[:1], near, state_init)
+        p_far = pen(pred[:1], far, state_init)
+        assert float(p_near[0, 0]) > float(p_far[0, 0])  # near -> penalty ~1
+
+
+class TestPlannerMPPI:
+    def test_converges_on_toy_problem(self):
+        """Toy dynamics: the 'object' (single point) moves to the action's
+        endpoint. Reward: negative distance of the endpoint to (  -2, 1)."""
+        target = jnp.array([-2.0, 1.0])
+
+        def model_rollout(state_cur, act_seqs):
+            dec, _ = decode_action(act_seqs, push_length=0.2)
+            endpoint = dec[..., 2:]  # (S, L, 2)
+            states = jnp.concatenate(
+                [endpoint, jnp.zeros_like(endpoint[..., :1])], -1)[:, :, None, :]
+            return {"state_seqs": states}
+
+        def evaluate(state_seqs, act_seqs, state_cur=None, **kw):
+            end = state_seqs[:, -1, 0, :2]
+            return {"reward_seqs": -jnp.linalg.norm(end - target, axis=-1)}
+
+        planner = Planner({
+            "action_dim": 4, "model_rollout_fn": model_rollout,
+            "evaluate_traj_fn": evaluate, "n_sample": 256, "n_look_ahead": 1,
+            "n_update_iter": 4, "reward_weight": 50.0,
+            "action_lower_lim": LOWER, "action_upper_lim": UPPER,
+            "planner_type": "MPPI", "noise_level": 0.5, "push_length": 0.2,
+        })
+        res = planner.trajectory_optimization(
+            jnp.zeros((1, 3)), jnp.array([[-1.0, 0.0, 0.0, 5.0]]),
+            key=jax.random.PRNGKey(0))
+        act = np.asarray(res["act_seq"])[0]
+        xs, zs, xe, ze = decode_action_single(act, 0.2)
+        # full-extent endpoint should be close-ish... the planner optimizes the
+        # SINGLE-step endpoint, so compare that
+        dec, _ = decode_action(jnp.array([[act]]), 0.2)
+        end = np.asarray(dec)[0, 0, 2:]
+        assert np.linalg.norm(end - np.asarray(target)) < 0.4
+        assert res["best_eval_output"] is not None
+
+
+class TestBatchedDynamics:
+    def test_rollout_shapes_and_repeat_semantics(self):
+        from adaptigraph_tpu.dynamics.model import DynamicsPredictor, ModelConfig
+        from adaptigraph_tpu.planning.forward_dynamics import make_batched_dynamics
+
+        cfg = ModelConfig(n_his=4, nf=16, pstep=1)
+        model = DynamicsPredictor(cfg)
+        task = {
+            "pusher_points": [[0.0, 0.0, 0.1]], "sim_real_ratio": 10,
+            "push_length": 0.2, "adj_thresh": 0.5, "topk": 5,
+            "connect_tools_all": False, "max_nR": 200, "n_his": 4,
+            "gripper_enable": False, "action_lower_lim": [-4.5, -2.5, -3.14, 2],
+            "action_upper_lim": [0.0, 4.5, 3.14, 4],
+        }
+        nobj = 30
+        state = jnp.array(np.random.RandomState(0).rand(nobj, 3), jnp.float32)
+        mask = jnp.ones(nobj, bool)
+        # init params with a representative graph
+        rollout = make_batched_dynamics(model, task)
+        acts = jnp.array([[[-1.0, 0.5, 0.3, 3.0]], [[-2.0, 1.0, -0.5, 0.0]]])
+        # build params via a dry init
+        from adaptigraph_tpu.ops import build_edges
+        st4 = jnp.tile(state[None], (4, 1, 1))
+        full = jnp.concatenate([st4, jnp.zeros((4, 1, 3))], axis=1)
+        e = build_edges(full[-1], 0.5, jnp.ones(nobj + 1, bool),
+                        jnp.zeros(nobj + 1, bool).at[nobj].set(True), topk=5,
+                        max_edges=200)
+        params = model.init(jax.random.PRNGKey(0), full,
+                            jnp.zeros((nobj + 1, 2)), e.receivers, e.senders,
+                            e.valid, jnp.ones((nobj, 1)), jnp.array([0.5]),
+                            action=jnp.zeros((nobj + 1, 3)))["params"]
+        out = rollout(params, state, mask, acts, jnp.array([0.5]))
+        assert out["state_seqs"].shape == (2, 1, nobj, 3)
+        # sample 1 has length 0 -> no model step recorded -> state unchanged
+        np.testing.assert_allclose(np.asarray(out["state_seqs"][1, 0]),
+                                   np.asarray(state), atol=1e-6)
+        # sample 0 with 3 repeats should have moved (random model output != 0)
+        assert np.abs(np.asarray(out["state_seqs"][0, 0]) - np.asarray(state)).max() > 1e-5
