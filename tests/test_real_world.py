@@ -1,0 +1,182 @@
+"""real_world layer tests: shared-memory IPC (native + fallback), camera
+processes with the sim backend, RealEnv double, box2d side task, viz."""
+
+import time
+
+import numpy as np
+import pytest
+
+from adaptigraph_tpu.planning.real_world.shared_memory import (
+    SharedAtomicCounter, SharedMemoryQueue, SharedMemoryRingBuffer, _lib)
+
+
+class TestSharedMemory:
+    def test_native_lib_loaded(self):
+        assert _lib() is not None, "native libshm_ring.so should be built"
+
+    def test_ring_roundtrip(self):
+        specs = {"a": ((4, 3), np.float32), "ts": ((1,), np.float64)}
+        ring = SharedMemoryRingBuffer("agtpu_test_ring", specs, capacity=4)
+        try:
+            assert ring.get_latest() == (None, -1)
+            for i in range(6):  # wraps the capacity
+                ring.put({"a": np.full((4, 3), i, np.float32),
+                          "ts": np.array([i * 0.1])})
+            f, seq = ring.get_latest()
+            assert seq == 5
+            np.testing.assert_allclose(f["a"], 5.0)
+            last3 = ring.get_last_k(3)
+            assert [int(x["a"][0, 0]) for x in last3] == [3, 4, 5]
+            assert ring.count == 6
+        finally:
+            ring.close()
+
+    def test_queue_fifo_and_full(self):
+        specs = {"x": ((2,), np.int64)}
+        q = SharedMemoryQueue("agtpu_test_q", specs, capacity=3)
+        try:
+            for i in range(3):
+                assert q.put({"x": np.array([i, i])})
+            assert not q.put({"x": np.array([9, 9])})  # full
+            got = [int(q.get()["x"][0]) for _ in range(3)]
+            assert got == [0, 1, 2]
+            assert q.get() is None
+            assert q.qsize() == 0
+        finally:
+            q.close()
+
+    def test_cross_process_ring(self):
+        import multiprocessing as mp
+
+        specs = {"v": ((8,), np.float32)}
+        ring = SharedMemoryRingBuffer("agtpu_test_xproc", specs, capacity=8)
+
+        def producer():
+            r = SharedMemoryRingBuffer("agtpu_test_xproc", specs, capacity=8,
+                                       create=False)
+            for i in range(20):
+                r.put({"v": np.full(8, i, np.float32)})
+            r.close(unlink=False)
+
+        try:
+            p = mp.Process(target=producer)
+            p.start()
+            p.join(10)
+            f, seq = ring.get_latest()
+            assert seq == 19
+            np.testing.assert_allclose(f["v"], 19.0)
+        finally:
+            ring.close()
+
+    def test_atomic_counter(self):
+        from multiprocessing import shared_memory
+
+        shm = shared_memory.SharedMemory(name="agtpu_test_ctr", create=True, size=8)
+        try:
+            c = SharedAtomicCounter(shm)
+            c.store(5)
+            assert c.load() == 5
+            assert c.add(3) == 8
+        finally:
+            del c
+            shm.close()
+            shm.unlink()
+
+
+class TestCameras:
+    def test_sim_camera_pipeline(self):
+        from adaptigraph_tpu.planning.real_world.cameras import (
+            MultiCamera, SimCameraBackend)
+
+        backends = {f"cam_{i}": SimCameraBackend((32, 32)) for i in range(2)}
+        rig = MultiCamera(backends, (32, 32))
+        assert rig.start(wait_ready=10.0)
+        try:
+            frames = rig.get_obs()
+            assert frames is not None and len(frames) == 2
+            for f in frames.values():
+                assert f["color"].shape == (32, 32, 3)
+                assert f["depth"].shape == (32, 32)
+        finally:
+            rig.stop()
+
+
+class TestRealEnvDouble:
+    def test_push_primitive_with_fakes(self):
+        from adaptigraph_tpu.planning.real_world.real_env import RealEnv
+
+        env = RealEnv(task_config={"sim_real_ratio": 10, "clipping_height": -0.06},
+                      use_robot=False, use_real_cameras=False, resolution=(32, 32),
+                      calib_dir="/tmp/agtpu_calib_none")
+        env.start()
+        try:
+            colors, depths = env.get_obs()
+            assert colors.shape == (4, 32, 32, 3)
+            assert env.step(np.array([-1.0, 0.5, 0.5, 0.5]))
+            # robot ends lifted above the push end point
+            pose = env.robot.get_pose()
+            np.testing.assert_allclose(pose[:2], [50.0, 50.0], atol=1e-6)  # mm
+            assert env.step_gripper(np.array([-1.0, 0.5, 0.5, 0.5]))
+        finally:
+            env.stop()
+
+
+class TestBox2D:
+    def test_push_translates_box(self):
+        from adaptigraph_tpu.sim.box2d import BoxSim
+
+        sim = BoxSim((1.0, 0.6))
+        start = np.array([-0.6, 0.0])
+        step = np.array([0.02, 0.0])
+        p = start.copy()
+        for _ in range(40):
+            p = p + step
+            sim.push(p, step)
+        assert sim.pose[0] > 0.1  # pushed +x
+        assert abs(sim.pose[2]) < 0.2  # centered push: little rotation
+
+    def test_offset_push_rotates_box(self):
+        from adaptigraph_tpu.sim.box2d import BoxSim
+
+        sim = BoxSim((1.0, 0.6))
+        p = np.array([-0.6, 0.25])
+        step = np.array([0.02, 0.0])
+        for _ in range(40):
+            p = p + step
+            sim.push(p, step)
+        assert abs(sim.pose[2]) > 0.05  # off-center push rotates
+
+    def test_episode_gen(self, tmp_path):
+        from adaptigraph_tpu.sim.box2d import gen_box_data
+
+        n = gen_box_data(str(tmp_path), n_episodes=2, render=True)
+        assert n == 2
+        d = np.load(tmp_path / "box_0000.npz")
+        assert d["states"].shape == (5, 3)
+        assert d["imgs"].shape[0] == 5
+
+
+class TestVisualize:
+    def test_overlay_and_video(self, tmp_path):
+        import cv2
+
+        from adaptigraph_tpu.sim.cameras import CameraRig
+        from adaptigraph_tpu.utils.visualize import merge_video, overlay_graph, \
+            project_points
+
+        rig = CameraRig(64, 64)
+        _, _, intrs, extrs = rig.multiview()
+        intr = intrs[0] * (64 / 720.0)
+        extr = extrs[0]
+        # a point at the workspace center projects inside the image
+        uv, z = project_points(np.array([[0.0, 0.5, 0.0]]), intr, extr)
+        assert 0 < uv[0, 0] < 64 and 0 < uv[0, 1] < 64 and z[0] > 0
+        img = np.zeros((64, 64, 3), np.uint8)
+        kp = np.random.RandomState(0).rand(5, 3).astype(np.float32)
+        out = overlay_graph(img, kp, intr, extr,
+                            edges=(np.array([0, 1]), np.array([1, 2]),
+                                   np.array([True, True])))
+        assert out.sum() > 0
+        for i in range(3):
+            cv2.imwrite(str(tmp_path / f"{i}_pred.jpg"), out)
+        assert merge_video(str(tmp_path), "pred", str(tmp_path / "pred.mp4"), fps=2)
