@@ -67,35 +67,41 @@ def _spring_deltas(pos, inv_mass, springs):
     return delta, cnt
 
 
-def _particle_contact_deltas(pos, pos_prev, inv_mass, group, self_collide, nbr_idx, nbr_valid,
-                             rest_dist, particle_friction, rest_pos=None, filter_dist=0.0):
-    """Particle-particle non-penetration + friction from the fixed-K neighbor
-    list. Pure gather: each pair is handled from both sides symmetrically.
+def precompute_contact_static(inv_mass, group, self_collide, active, nbr_idx, nbr_valid,
+                              rest_pos=None, filter_dist=0.0):
+    """Per-frame invariants of the particle-contact pass: pair eligibility
+    (group / self-collide / rest-distance filter — the
+    eNvFlexPhaseSelfCollideFilter semantics, phases set at
+    by_softrope.h:303) and mass shares. Computing these once per frame
+    leaves a single pos gather per solver iteration."""
+    gi = group[:, None]
+    gj = group[nbr_idx]
+    collide = (gi != gj) | (self_collide[:, None] & self_collide[nbr_idx])
+    if rest_pos is not None:
+        rest_d = jnp.linalg.norm(rest_pos[:, None, :] - rest_pos[nbr_idx], axis=-1)
+        collide = collide & ~((gi == gj) & (rest_d < filter_dist))
+    wi = inv_mass[:, None]
+    wj = inv_mass[nbr_idx]
+    wsum = wi + wj
+    eligible = nbr_valid & collide & (wsum > 0)
+    share = wi / (wsum + _EPS)
+    return eligible, share
 
-    `rest_pos`/`filter_dist` implement eNvFlexPhaseSelfCollideFilter: pairs in
-    the same group closer than `filter_dist` at rest never collide (the way
-    FleX keeps volume-sampled soft bodies from exploding on their own rest
-    overlap; phases set at by_softrope.h:303)."""
-    pj = pos[nbr_idx]  # (N, K, 3)
+
+def _particle_contact_deltas(pos, pos_prev, nbr_idx, eligible, share,
+                             rest_dist, particle_friction):
+    """Particle-particle non-penetration + friction from the fixed-K neighbor
+    list. Pure gather: each pair is handled from both sides symmetrically."""
+    pj = pos[nbr_idx]  # (N, K, 3) — the only per-iteration gather
+    pj_prev = pos_prev[nbr_idx]
     d = pos[:, None, :] - pj
     dist = jnp.linalg.norm(d, axis=-1)
     direction = d / (dist[..., None] + _EPS)
     overlap = rest_dist - dist  # > 0 when penetrating
-    gi = group[:, None]
-    gj = group[nbr_idx]
-    collide_groups = (gi != gj) | (self_collide[:, None] & self_collide[nbr_idx])
-    if rest_pos is not None:
-        rest_d = jnp.linalg.norm(rest_pos[:, None, :] - rest_pos[nbr_idx], axis=-1)
-        filtered = (gi == gj) & (rest_d < filter_dist)
-        collide_groups = collide_groups & ~filtered
-    wi = inv_mass[:, None]
-    wj = inv_mass[nbr_idx]
-    wsum = wi + wj
-    contact = nbr_valid & (overlap > 0) & collide_groups & (wsum > 0)
-    share = wi / (wsum + _EPS)
+    contact = eligible & (overlap > 0)
     delta_n = direction * (share * overlap)[..., None]
     # friction: tangential relative displacement over the substep
-    rel = (pos - pos_prev)[:, None, :] - (pos[nbr_idx] - pos_prev[nbr_idx])
+    rel = (pos - pos_prev)[:, None, :] - (pj - pj_prev)
     rel_t = rel - direction * jnp.sum(rel * direction, axis=-1, keepdims=True)
     rel_t_norm = jnp.linalg.norm(rel_t, axis=-1, keepdims=True)
     max_slide = particle_friction * overlap[..., None]
@@ -152,11 +158,16 @@ def _nlerp(q0, q1, t):
 
 
 def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
-             shapes: ShapeSet, s_pos, s_quat, s_vel, dt, iterations: int, neighbor_k: int):
+             shapes: ShapeSet, s_pos, s_quat, s_vel, nbr_idx, eligible, share,
+             dt, iterations: int):
     p = particles
     prm = spec.params
     movable = (p.inv_mass > 0) & p.active
     mov = movable.astype(p.pos.dtype)[:, None]
+    # static structure flags: zero-capacity spring/cluster sets are the
+    # builders' "none" encoding — those passes compile away entirely
+    has_springs = spec.springs.idx.shape[0] > 0
+    has_clusters = spec.clusters.member.shape[0] > 0 and spec.clusters.member.shape[1] > 0
 
     vel = p.vel + jnp.array([0.0, 1.0, 0.0]) * (prm.gravity * dt)
     vel = vel * jnp.maximum(0.0, 1.0 - prm.damping * dt)
@@ -166,25 +177,29 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     pos_prev = p.pos
     pos = pos_prev + vel * dt
 
-    # tiled search avoids materializing the (N, N, 3) difference tensor
-    nfind = neighbor_list if p.pos.shape[0] <= 1024 else neighbor_list_tiled
-    nbr_idx, nbr_valid = nfind(pos, prm.radius * 1.5, p.active, k=neighbor_k)
-
     def iter_body(_, carry):
         pos, cl_rot, gl_rot = carry
-        delta_s, cnt_s = _spring_deltas(pos, p.inv_mass, spec.springs)
-        delta_c, cnt_c = _particle_contact_deltas(
-            pos, pos_prev, p.inv_mass, p.group, p.self_collide, nbr_idx, nbr_valid,
-            prm.solid_rest_distance, prm.particle_friction,
-            rest_pos=spec.rest_pos, filter_dist=prm.collide_filter_dist)
+        delta_c, cnt = _particle_contact_deltas(
+            pos, pos_prev, nbr_idx, eligible, share,
+            prm.solid_rest_distance, prm.particle_friction)
+        delta = delta_c
         delta_k, cnt_k = shape_contact_deltas(
             pos, pos_prev, shapes, s_pos, s_quat, s_vel,
             prm.collision_distance, prm.shape_collision_margin, prm.dynamic_friction, dt)
-        delta_m, cnt_m, cl_rot = _cluster_deltas(pos, spec.clusters, cl_rot)
+        delta = delta + delta_k
+        cnt = cnt + cnt_k
+        if has_springs:
+            delta_s, cnt_s = _spring_deltas(pos, p.inv_mass, spec.springs)
+            delta = delta + delta_s
+            cnt = cnt + cnt_s
+        if has_clusters:
+            delta_m, cnt_m, cl_rot = _cluster_deltas(pos, spec.clusters, cl_rot)
+            delta = delta + delta_m
+            cnt = cnt + cnt_m
         delta_g, cnt_g, gl_rot = _global_cluster_deltas(
             pos, p.active, p.inv_mass, spec.global_rest, spec.global_stiffness, gl_rot)
-        delta = delta_s + delta_c + delta_k + delta_m + delta_g
-        cnt = cnt_s + cnt_c + cnt_k + cnt_m + cnt_g
+        delta = delta + delta_g
+        cnt = cnt + cnt_g
         pos = pos + prm.relaxation_factor * delta / jnp.maximum(cnt, 1.0)[:, None] * mov
         return pos, cl_rot, gl_rot
 
@@ -217,6 +232,15 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
     shapes = state.shapes
     s_vel = (shapes.pos - shapes.prev_pos) / prm.dt
 
+    # neighbor find ONCE per outer frame, like NvFlexUpdateSolver: the
+    # enlarged search radius covers a frame of drift; substeps reuse the list
+    p0 = state.particles
+    nfind = neighbor_list if p0.pos.shape[0] <= 1024 else neighbor_list_tiled
+    nbr_idx, nbr_valid = nfind(p0.pos, prm.radius * 1.5, p0.active, k=neighbor_k)
+    eligible, share = precompute_contact_static(
+        p0.inv_mass, p0.group, p0.self_collide, p0.active, nbr_idx, nbr_valid,
+        rest_pos=spec.rest_pos, filter_dist=prm.collide_filter_dist)
+
     ts = (jnp.arange(substeps, dtype=jnp.float32) + 1.0) / substeps
 
     def sub(carry, t):
@@ -225,7 +249,7 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
         s_quat = _nlerp(shapes.prev_quat, shapes.quat, t)
         particles, cl_rot, gl_rot = _substep(
             particles, cl_rot, gl_rot, spec, shapes, s_pos, s_quat, s_vel,
-            dt_sub, iterations, neighbor_k)
+            nbr_idx, eligible, share, dt_sub, iterations)
         return (particles, cl_rot, gl_rot), None
 
     (particles, cl_rot, gl_rot), _ = jax.lax.scan(

@@ -51,9 +51,9 @@ class Caps(NamedTuple):
 
 
 MATERIAL_CAPS = {
-    "rope": Caps(n=3072, s=1, c=384, k=640, m=8),
-    "granular": Caps(n=40960, s=1, c=1024, k=640, m=8),
-    "cloth": Caps(n=4900, s=30720, c=2, k=4, m=8),
+    "rope": Caps(n=3072, s=0, c=384, k=640, m=8),
+    "granular": Caps(n=40960, s=0, c=1024, k=640, m=8),
+    "cloth": Caps(n=4900, s=30720, c=0, k=0, m=8),
 }
 
 
