@@ -76,11 +76,12 @@ class SimEnv:
         self.camera_view = int(d.get("camera_view", 1))
         self.max_chunks = int(d.get("max_chunks", DEFAULT_MAX_CHUNKS))
         self.settle_steps = int(d.get("settle_steps", 200))
+        self.chunk_group = max(1, min(int(d.get("chunk_group", 8)), self.max_chunks))
         self.caps = MATERIAL_CAPS[self.obj]
         self.wkspace_height = 0.5
         self.wkspace_width = 3.5
         self.wkspace_length = 4.5
-        self._chunk_fn = None
+        self._group_fn = None
         self.sampled_idx = None
 
     # ---------- shape construction ----------
@@ -162,7 +163,7 @@ class SimEnv:
         self.props = b.props
         self.colors = np.tile(_PARTICLE_COLORS[self.obj][None], (self.caps.n, 1))
         self._eef_prev = None
-        if self._chunk_fn is None:
+        if self._group_fn is None:
             self._compile_push()
 
         # settle 200 frames (flex_env.py:246-247)
@@ -207,12 +208,15 @@ class SimEnv:
         tool_slot0, n_tool = self.tool_slot0, self.n_tool
         env = self
 
+        group = self.chunk_group
+
         @partial(jax.jit, donate_argnums=(0,))
-        def chunk_fn(state, spec, eefs, rots, gaps, atts, attach_idx, attach_rel):
-            """One CHUNK of sim steps as a single device program. Dispatching
-            per chunk (not per push) keeps programs small and lets the host
-            stream progress; `state` is donated so the scene buffers are
-            updated in place."""
+        def group_fn(state, spec, eefs, rots, gaps, atts, attach_idx, attach_rel):
+            """`chunk_group` x CHUNK sim steps as one device program,
+            recording particle positions at every CHUNK boundary. Grouped
+            dispatch balances program size (a whole-push program once
+            crashed the remote TPU worker) against per-dispatch tunnel
+            latency; `state` is donated so scene buffers update in place."""
 
             def one_step(st, inp):
                 eef, rot, gap, att_on = inp
@@ -233,26 +237,39 @@ class SimEnv:
                 st = xpbd_step(st, spec, substeps, iterations)
                 return st, None
 
-            st, _ = jax.lax.scan(one_step, state, (eefs, rots, gaps, atts))
-            return st, st.particles.pos, jnp.isnan(st.particles.pos[:, 0]).any()
+            def one_chunk(st, inp):
+                st, _ = jax.lax.scan(one_step, st, inp)
+                return st, st.particles.pos
 
-        self._chunk_fn = chunk_fn
+            st, pos_rec = jax.lax.scan(one_chunk, state, (eefs, rots, gaps, atts))
+            return st, pos_rec, jnp.isnan(st.particles.pos[:, 0]).any()
+
+        self._group_fn = group_fn
 
     def _push_fn(self, state, spec, eef_traj, rot_traj, gap_traj, attach_idx,
-                 attach_rel, attach_active):
-        """Host loop over chunks; returns per-chunk-boundary records."""
+                 attach_rel, attach_active, n_chunks_active=None):
+        """Host loop over chunk groups; dispatches only the chunks the push
+        (+ settle) actually needs and pads the remaining records."""
+        g = self.chunk_group
         eef_c = np.asarray(eef_traj).reshape(self.max_chunks, CHUNK, 3)
         rot_c = np.asarray(rot_traj).reshape(self.max_chunks, CHUNK, 3, 3)
         gap_c = np.asarray(gap_traj).reshape(self.max_chunks, CHUNK)
         att_c = np.asarray(attach_active).reshape(self.max_chunks, CHUNK)
+        n_active = n_chunks_active or self.max_chunks
+        n_groups = -(-n_active // g)
         pos_rec, nan_any = [], False
         st = state
-        for ci in range(self.max_chunks):
-            st, pos, nan = self._chunk_fn(
-                st, spec, jnp.array(eef_c[ci]), jnp.array(rot_c[ci]),
-                jnp.array(gap_c[ci]), jnp.array(att_c[ci]),
-                jnp.asarray(attach_idx), jnp.asarray(attach_rel))
-            pos_rec.append(np.asarray(pos))
+        for gi in range(n_groups):
+            lo = gi * g
+            hi = min(lo + g, n_active)
+            sl = slice(lo, hi)
+            # tail groups dispatch at their true size: jit caches one program
+            # per distinct group length (at most `g` variants)
+            eefs, rots, gaps, atts = eef_c[sl], rot_c[sl], gap_c[sl], att_c[sl]
+            st, pos, nan = self._group_fn(
+                st, spec, jnp.array(eefs), jnp.array(rots), jnp.array(gaps),
+                jnp.array(atts), jnp.asarray(attach_idx), jnp.asarray(attach_rel))
+            pos_rec.extend(np.asarray(pos))
             if bool(np.asarray(nan)):
                 nan_any = True
                 break
@@ -260,7 +277,8 @@ class SimEnv:
             pos_rec.append(pos_rec[-1])
         eef_rec = eef_c[:, -1]
         rot_rec = rot_c[:, -1]
-        return st, np.stack(pos_rec), eef_rec, rot_rec, np.array([nan_any])
+        return st, np.stack(pos_rec[: self.max_chunks]), eef_rec, rot_rec, \
+            np.array([nan_any])
 
     # ---------- step ----------
 
@@ -329,9 +347,11 @@ class SimEnv:
             eef0 = eef_flex[grasp_t]
             attach_rel = ((pts[attach_idx % self.n_active] - eef0) @ rot).astype(np.float32)
 
+        n_chunks_active = min(-(-(t_push + self.settle_steps) // CHUNK),
+                              self.max_chunks)
         st, pos_rec, eef_rec, rot_rec, nan_rec = self._push_fn(
             self.state, self.spec, eef_flex, rot_traj, gap_traj, attach_idx,
-            attach_rel, attach_active)
+            attach_rel, attach_active, n_chunks_active=n_chunks_active)
 
         if bool(np.asarray(nan_rec).any()):
             print("simulator exploded when action is", action)
