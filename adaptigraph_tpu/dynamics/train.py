@@ -179,6 +179,10 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None):
         np.savetxt(os.path.join(out_dir, "loss_train.txt"), history["train"])
         if history.get("valid"):
             np.savetxt(os.path.join(out_dir, "loss_valid.txt"), history["valid"])
+        from adaptigraph_tpu.utils.profiling import plot_loss_curves
+
+        plot_loss_curves(history["train"], history.get("valid"),
+                         os.path.join(out_dir, "loss.png"))
         print(f"epoch {epoch} time {time.time() - t0:.1f}s", flush=True)
     return params, history
 
