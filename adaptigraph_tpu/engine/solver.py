@@ -89,11 +89,14 @@ def precompute_contact_static(inv_mass, group, self_collide, active, nbr_idx, nb
 
 
 def _particle_contact_deltas(pos, pos_prev, nbr_idx, eligible, share,
-                             rest_dist, particle_friction):
+                             rest_dist, particle_friction, pj_prev=None):
     """Particle-particle non-penetration + friction from the fixed-K neighbor
-    list. Pure gather: each pair is handled from both sides symmetrically."""
+    list. Pure gather: each pair is handled from both sides symmetrically.
+    `pj_prev` (substep-start neighbor positions) is hoisted by the caller so
+    the iteration loop performs a single gather."""
     pj = pos[nbr_idx]  # (N, K, 3) — the only per-iteration gather
-    pj_prev = pos_prev[nbr_idx]
+    if pj_prev is None:
+        pj_prev = pos_prev[nbr_idx]
     d = pos[:, None, :] - pj
     dist = jnp.linalg.norm(d, axis=-1)
     direction = d / (dist[..., None] + _EPS)
@@ -176,12 +179,13 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     vel = vel * mov
     pos_prev = p.pos
     pos = pos_prev + vel * dt
+    pj_prev = pos_prev[nbr_idx]  # static across iterations
 
     def iter_body(_, carry):
         pos, cl_rot, gl_rot = carry
         delta_c, cnt = _particle_contact_deltas(
             pos, pos_prev, nbr_idx, eligible, share,
-            prm.solid_rest_distance, prm.particle_friction)
+            prm.solid_rest_distance, prm.particle_friction, pj_prev=pj_prev)
         delta = delta_c
         delta_k, cnt_k = shape_contact_deltas(
             pos, pos_prev, shapes, s_pos, s_quat, s_vel,
