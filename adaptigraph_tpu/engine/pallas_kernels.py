@@ -1,0 +1,162 @@
+"""Pallas TPU kernels for the solver hot loop.
+
+`dense_contact_deltas` replaces the neighbor-list + gather contact pipeline
+(engine/neighbors.py + solver._particle_contact_deltas) with an all-pairs
+TILED sweep: the grid walks (row-tile, col-tile) pairs; each invocation
+broadcasts a (TILE, 1) column of row-particle coordinates against a
+(1, TILE) row of col-particle coordinates on the VPU — no sorting, no
+top_k, no dynamic gathers, and the contact radius test happens inline.
+Corrections for a row tile accumulate across the col-tile grid dimension
+into a revisited output block (the standard reduction-grid pattern).
+
+Particle data is packed in two layouts so both broadcast orientations are
+natural tile loads:
+  * cols:  (16, N)  — attribute rows, lane-major over particles;
+  * rows:  (N, 16)  — the transpose, sublane-major.
+Attribute rows: 0-2 pos, 3-5 pos_prev, 6 group, 7 inv_mass,
+8 self_collide, 9-11 rest_pos, 12 active.
+
+At 5k particles this is ~25M pairs x ~40 VPU flops per solver iteration —
+about 1 GFLOP, microseconds of VPU time — versus milliseconds of
+top_k + gather traffic for the sparse formulation. Cost grows O(N^2), so
+the sparse path remains the fallback above `DENSE_CONTACT_MAX_N`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+DENSE_CONTACT_MAX_N = 8192
+_EPS = 1e-9
+
+
+def _contact_kernel(scal_ref, rows_ref, cols_ref, out_ref):
+    """One (row-tile i, col-tile j) pair.
+
+    scal_ref: (1, 4) SMEM [rest_dist, particle_friction, filter_dist, n]
+    rows_ref: (TILE, 16) row-particle attributes (sublane-major)
+    cols_ref: (16, TILE) col-particle attributes (lane-major)
+    out_ref:  (TILE, 8) accumulated [delta_xyz, count, 0...] for row tile i
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    rest_dist = scal_ref[0, 0]
+    friction = scal_ref[0, 1]
+    filter_dist = scal_ref[0, 2]
+
+    r = rows_ref[:]  # (TILE, 16)
+    c = cols_ref[:]  # (16, TILE)
+
+    xi, yi, zi = r[:, 0:1], r[:, 1:2], r[:, 2:3]  # (TILE, 1)
+    xj, yj, zj = c[0:1, :], c[1:2, :], c[2:3, :]  # (1, TILE)
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    d2 = dx * dx + dy * dy + dz * dz
+    dist = jnp.sqrt(d2 + _EPS)
+    inv_dist = 1.0 / dist
+    overlap = rest_dist - dist
+
+    gi, gj = r[:, 6:7], c[6:7, :]
+    sci, scj = r[:, 8:9], c[8:9, :]
+    wi, wj = r[:, 7:8], c[7:8, :]
+    ai, aj = r[:, 12:13], c[12:13, :]
+    same_group = jnp.abs(gi - gj) < 0.5
+    collide = (~same_group) | ((sci > 0.5) & (scj > 0.5))
+    # rest-distance self-collide filter
+    rdx = r[:, 9:10] - c[9:10, :]
+    rdy = r[:, 10:11] - c[10:11, :]
+    rdz = r[:, 11:12] - c[11:12, :]
+    rest_d2 = rdx * rdx + rdy * rdy + rdz * rdz
+    collide = collide & ~(same_group & (rest_d2 < filter_dist * filter_dist))
+
+    row_ids = i * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    col_ids = j * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    not_self = row_ids != col_ids
+
+    wsum = wi + wj
+    contact = ((overlap > 0.0) & collide & not_self & (wsum > 0.0)
+               & (ai > 0.5) & (aj > 0.5))
+    share = wi / (wsum + _EPS)
+    cf = jnp.where(contact, 1.0, 0.0)
+    mag = share * overlap * inv_dist * cf
+
+    # friction: tangential relative displacement this substep
+    mx = (xi - r[:, 3:4]) - (xj - c[3:4, :])
+    my = (yi - r[:, 4:5]) - (yj - c[4:5, :])
+    mz = (zi - r[:, 5:6]) - (zj - c[5:6, :])
+    rel_n = (mx * dx + my * dy + mz * dz) * inv_dist * inv_dist
+    tx = mx - rel_n * dx
+    ty = my - rel_n * dy
+    tz = mz - rel_n * dz
+    tnorm = jnp.sqrt(tx * tx + ty * ty + tz * tz + _EPS)
+    max_slide = jnp.maximum(friction * overlap, 0.0)
+    fscale = jnp.minimum(1.0, max_slide / (tnorm + _EPS)) * share * cf
+
+    ddx = jnp.sum(dx * mag - tx * fscale, axis=1)  # (TILE,)
+    ddy = jnp.sum(dy * mag - ty * fscale, axis=1)
+    ddz = jnp.sum(dz * mag - tz * fscale, axis=1)
+    cnt = jnp.sum(cf, axis=1)
+    block = jnp.stack([ddx, ddy, ddz, cnt] + [jnp.zeros_like(cnt)] * 4, axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = block
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + block
+
+
+def _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos, n_pad):
+    n = pos.shape[0]
+    cols = jnp.zeros((16, n_pad), dtype=jnp.float32)
+    cols = cols.at[0:3, :n].set(pos.T)
+    cols = cols.at[3:6, :n].set(pos_prev.T)
+    cols = cols.at[6, :n].set(group.astype(jnp.float32))
+    cols = cols.at[7, :n].set(inv_mass)
+    cols = cols.at[8, :n].set(self_collide.astype(jnp.float32))
+    cols = cols.at[9:12, :n].set(rest_pos.T)
+    cols = cols.at[12, :n].set(active.astype(jnp.float32))
+    return cols
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dense_contact_deltas(pos, pos_prev, group, inv_mass, self_collide, active,
+                         rest_pos, rest_dist, particle_friction, filter_dist,
+                         interpret: bool = False):
+    """All-pairs particle contact corrections.
+
+    Same contract as solver._particle_contact_deltas but with no neighbor
+    list: returns (delta (N, 3), count (N,)).
+    """
+    n = pos.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    cols = _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos,
+                 n_pad)
+    rows = cols.T  # (n_pad, 16)
+    scal = jnp.array([[rest_dist, particle_friction, filter_dist, float(n)]],
+                     dtype=jnp.float32)
+
+    grid = (n_pad // TILE, n_pad // TILE)
+    out = pl.pallas_call(
+        _contact_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, 8), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        interpret=interpret,
+    )(scal, rows, cols)
+    return out[:n, :3], out[:n, 3]

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from adaptigraph_tpu.engine.neighbors import neighbor_list, neighbor_list_tiled
+from adaptigraph_tpu.engine.pallas_kernels import (
+    DENSE_CONTACT_MAX_N, dense_contact_deltas)
 from adaptigraph_tpu.engine.collisions import shape_contact_deltas
 from adaptigraph_tpu.engine.state import (
     ParticleState,
@@ -162,7 +164,7 @@ def _nlerp(q0, q1, t):
 
 def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
              shapes: ShapeSet, s_pos, s_quat, s_vel, nbr_idx, eligible, share,
-             dt, iterations: int):
+             dt, iterations: int, dense: bool = False, interpret: bool = False):
     p = particles
     prm = spec.params
     movable = (p.inv_mass > 0) & p.active
@@ -179,13 +181,20 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     vel = vel * mov
     pos_prev = p.pos
     pos = pos_prev + vel * dt
-    pj_prev = pos_prev[nbr_idx]  # static across iterations
+    pj_prev = None if dense else pos_prev[nbr_idx]  # static across iterations
 
     def iter_body(_, carry):
         pos, cl_rot, gl_rot = carry
-        delta_c, cnt = _particle_contact_deltas(
-            pos, pos_prev, nbr_idx, eligible, share,
-            prm.solid_rest_distance, prm.particle_friction, pj_prev=pj_prev)
+        if dense:
+            # all-pairs Pallas tile sweep: no neighbor list, no gathers
+            delta_c, cnt = dense_contact_deltas(
+                pos, pos_prev, p.group, p.inv_mass, p.self_collide, p.active,
+                spec.rest_pos, prm.solid_rest_distance, prm.particle_friction,
+                prm.collide_filter_dist, interpret=interpret)
+        else:
+            delta_c, cnt = _particle_contact_deltas(
+                pos, pos_prev, nbr_idx, eligible, share,
+                prm.solid_rest_distance, prm.particle_friction, pj_prev=pj_prev)
         delta = delta_c
         delta_k, cnt_k = shape_contact_deltas(
             pos, pos_prev, shapes, s_pos, s_quat, s_vel,
@@ -221,9 +230,10 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     return p._replace(pos=pos, vel=vel), cluster_rot, global_rot
 
 
-@partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k"))
+@partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
+                                   "dense_contacts"))
 def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int,
-              neighbor_k: int = 24) -> SceneState:
+              neighbor_k: int = 24, dense_contacts: bool | None = None) -> SceneState:
     """One outer sim frame (dt = params.dt), matching pyflex.step semantics:
     kinematic shapes move from their prev pose to their current pose across
     the substeps; particles respond.
@@ -236,14 +246,23 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
     shapes = state.shapes
     s_vel = (shapes.pos - shapes.prev_pos) / prm.dt
 
-    # neighbor find ONCE per outer frame, like NvFlexUpdateSolver: the
-    # enlarged search radius covers a frame of drift; substeps reuse the list
     p0 = state.particles
-    nfind = neighbor_list if p0.pos.shape[0] <= 1024 else neighbor_list_tiled
-    nbr_idx, nbr_valid = nfind(p0.pos, prm.radius * 1.5, p0.active, k=neighbor_k)
-    eligible, share = precompute_contact_static(
-        p0.inv_mass, p0.group, p0.self_collide, p0.active, nbr_idx, nbr_valid,
-        rest_pos=spec.rest_pos, filter_dist=prm.collide_filter_dist)
+    n = p0.pos.shape[0]
+    if dense_contacts is None:
+        # the Pallas all-pairs sweep wins until O(N^2) overtakes the sparse
+        # path; interpret mode keeps CPU tests runnable
+        dense_contacts = n <= DENSE_CONTACT_MAX_N
+    interpret = jax.default_backend() == "cpu"
+    if dense_contacts:
+        nbr_idx = eligible = share = None
+    else:
+        # neighbor find ONCE per outer frame, like NvFlexUpdateSolver: the
+        # enlarged search radius covers a frame of drift; substeps reuse it
+        nfind = neighbor_list if n <= 1024 else neighbor_list_tiled
+        nbr_idx, nbr_valid = nfind(p0.pos, prm.radius * 1.5, p0.active, k=neighbor_k)
+        eligible, share = precompute_contact_static(
+            p0.inv_mass, p0.group, p0.self_collide, p0.active, nbr_idx, nbr_valid,
+            rest_pos=spec.rest_pos, filter_dist=prm.collide_filter_dist)
 
     ts = (jnp.arange(substeps, dtype=jnp.float32) + 1.0) / substeps
 
@@ -253,7 +272,8 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
         s_quat = _nlerp(shapes.prev_quat, shapes.quat, t)
         particles, cl_rot, gl_rot = _substep(
             particles, cl_rot, gl_rot, spec, shapes, s_pos, s_quat, s_vel,
-            nbr_idx, eligible, share, dt_sub, iterations)
+            nbr_idx, eligible, share, dt_sub, iterations,
+            dense=dense_contacts, interpret=interpret)
         return (particles, cl_rot, gl_rot), None
 
     (particles, cl_rot, gl_rot), _ = jax.lax.scan(
