@@ -140,10 +140,13 @@ def make_rollout_step(model, dataset_config):
 
 
 def rollout_push(params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his,
-                 current_start, current_end, max_nobj, rollout_steps=100):
-    """Roll one push; returns the per-step error list."""
+                 current_start, current_end, max_nobj, rollout_steps=100,
+                 viz_ctx=None):
+    """Roll one push; returns the per-step error list. `viz_ctx` (optional):
+    dict(imgs, intr, extr, save_dir) — writes pred/gt overlay frames like the
+    reference visualize_graph (rollout/graph.py:44-230)."""
     errors = []
-    for _ in range(rollout_steps):
+    for step_i in range(rollout_steps):
         eef_start = jnp.array(eef_pos[current_start])
         eef_end = jnp.array(eef_pos[current_end])
         # note: reference applies the NEXT action before computing error at
@@ -152,11 +155,49 @@ def rollout_push(params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his
         gt = obj_pos[current_end][fps_idx]
         predn = np.asarray(pred)[: len(fps_idx)]
         errors.append(float(np.linalg.norm(predn - gt, axis=-1).mean()))
+        if viz_ctx is not None:
+            from adaptigraph_tpu.utils.visualize import overlay_graph
+            import cv2
+
+            frame_idx = min(current_end, len(viz_ctx["imgs"]) - 1)
+            img = viz_ctx["imgs"][frame_idx]
+            out = overlay_graph(img, predn, viz_ctx["intr"], viz_ctx["extr"],
+                                edges=(np.asarray(graph["recv"]),
+                                       np.asarray(graph["send"]),
+                                       np.asarray(graph["edge_valid"])),
+                                gt_kp=gt, eef_kp=np.asarray(eef_end))
+            cv2.imwrite(os.path.join(viz_ctx["save_dir"], f"{step_i}_both.jpg"),
+                        out[..., ::-1])
         nxt = get_next_pair(pairs, n_his, current_end)
         if nxt is None:
             break
         current_start, current_end = nxt[n_his - 1], nxt[n_his]
     return errors
+
+
+def _make_viz_ctx(dataset_config, epi, push_i, out_dir, cam=0):
+    """Load episode frames + camera params for overlay rendering
+    (rollout/graph.py extract_imgs :20-40)."""
+    import glob as _glob
+
+    from adaptigraph_tpu.sim.episode_io import load_data
+
+    data_dir = os.path.join(dataset_config["data_dir"], dataset_config["data_name"])
+    cam_dir = os.path.join(data_dir, "cameras")
+    if not os.path.exists(os.path.join(cam_dir, "intrinsic.npy")):
+        return None
+    intr = np.load(os.path.join(cam_dir, "intrinsic.npy"))[cam]
+    extr = np.load(os.path.join(cam_dir, "extrinsic.npy"))[cam]
+    imgs = []
+    for f in sorted(_glob.glob(os.path.join(data_dir, f"{epi:06}", "*.h5")))[1:]:
+        d = load_data(f)
+        imgs.append(d["observations"]["color"][f"cam_{cam}"])
+    if not imgs:
+        return None
+    imgs = np.concatenate(imgs, axis=0)
+    save_dir = os.path.join(out_dir, f"viz_{epi:06}_{push_i + 1}_cam{cam}")
+    os.makedirs(save_dir, exist_ok=True)
+    return {"imgs": imgs, "intr": intr, "extr": extr, "save_dir": save_dir}
 
 
 def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=None):
@@ -197,10 +238,19 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
             pair = pairs[0]
             graph, fps_idx = construct_graph(dataset_config, eef_pos, obj_pos, n_his,
                                              pair, physics, rng)
+            viz_ctx = None
+            if viz:
+                viz_ctx = _make_viz_ctx(dataset_config, epi, pi, out_dir)
             errors = rollout_push(
                 params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his,
                 pair[n_his - 1], pair[n_his],
-                int(dataset_config["datasets"][0]["max_nobj"]), rollout_steps)
+                int(dataset_config["datasets"][0]["max_nobj"]), rollout_steps,
+                viz_ctx=viz_ctx)
+            if viz_ctx is not None:
+                from adaptigraph_tpu.utils.visualize import merge_video
+
+                merge_video(viz_ctx["save_dir"], "both",
+                            os.path.join(viz_ctx["save_dir"], "both.mp4"), fps=10)
             all_errors.append(errors)
             np.savetxt(os.path.join(out_dir, f"error_{epi:06}_{pi + 1}.txt"), errors)
             print(f"episode {epi} push {pi + 1}: {len(errors)} steps, "
@@ -222,5 +272,7 @@ if __name__ == "__main__":
     ap.add_argument("--config", type=str, default="dynamics/rope")
     ap.add_argument("--ckpt", type=str, default="latest")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--viz", action="store_true")
     args = ap.parse_args()
-    rollout(load_config(args.config), ckpt=args.ckpt, rollout_steps=args.steps)
+    rollout(load_config(args.config), ckpt=args.ckpt, rollout_steps=args.steps,
+            viz=args.viz)
