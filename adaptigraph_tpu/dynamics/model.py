@@ -48,6 +48,10 @@ class ModelConfig:
     rel_density_dim: int = 0
     motion_clamp: float = 100.0
     compute_dtype: Any = jnp.float32
+    # 'matmul': gather/aggregate via one-hot incidence matmuls (MXU — fastest
+    # for the 100-node/1000-edge graphs in play); 'segment': index gathers +
+    # segment_sum (lower memory at much larger graphs)
+    aggregation: str = "matmul"
 
 
 class _Encoder(nn.Module):
@@ -162,12 +166,37 @@ class DynamicsPredictor(nn.Module):
         edge_prop = _Propagator(cfg.nf, dt, name="relation_propagator")
         node_prop = _Propagator(cfg.nf, dt, name="particle_propagator")
 
+        if cfg.aggregation == "matmul":
+            # one-hot incidence (built once per forward): gathers and the
+            # receiver aggregation become MXU matmuls — at E~1000/N~100 this
+            # beats TPU scatter by a wide margin
+            rr = jax.nn.one_hot(recv, n, dtype=dt)  # (E, N)
+            rs = jax.nn.one_hot(send, n, dtype=dt)
+
+            def gather_r(x):
+                return rr @ x
+
+            def gather_s(x):
+                return rs @ x
+
+            def aggregate(e):
+                return rr.T @ e
+        else:
+            def gather_r(x):
+                return x[recv]
+
+            def gather_s(x):
+                return x[send]
+
+            def aggregate(e):
+                return jax.ops.segment_sum(e, recv, num_segments=n)
+
         effect = node_enc
         for _ in range(cfg.pstep):
-            e_r = effect[recv]
-            e_s = effect[send]
+            e_r = gather_r(effect)
+            e_s = gather_s(effect)
             edge_effect = edge_prop(jnp.concatenate([edge_enc, e_r, e_s], -1)) * ev
-            agg = jax.ops.segment_sum(edge_effect, recv, num_segments=n)
+            agg = aggregate(edge_effect)
             effect = node_prop(jnp.concatenate([node_enc, agg], -1), res=effect)
 
         motion = _MotionHead(cfg.nf, dt, name="non_rigid_predictor")(effect[:n_obj])

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 128
+TILE = 128          # row-tile (sublane-major)
+TILE_J = 512        # col-tile: wider lanes amortize grid-step overhead
 DENSE_CONTACT_MAX_N = 8192
 _EPS = 1e-9
 
@@ -41,7 +42,7 @@ def _contact_kernel(scal_ref, rows_ref, cols_ref, out_ref):
 
     scal_ref: (1, 4) SMEM [rest_dist, particle_friction, filter_dist, n]
     rows_ref: (TILE, 16) row-particle attributes (sublane-major)
-    cols_ref: (16, TILE) col-particle attributes (lane-major)
+    cols_ref: (16, TILE_J) col-particle attributes (lane-major)
     out_ref:  (TILE, 8) accumulated [delta_xyz, count, 0...] for row tile i
     """
     i = pl.program_id(0)
@@ -78,7 +79,7 @@ def _contact_kernel(scal_ref, rows_ref, cols_ref, out_ref):
     collide = collide & ~(same_group & (rest_d2 < filter_dist * filter_dist))
 
     row_ids = i * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
-    col_ids = j * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    col_ids = j * TILE_J + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_J), 1)
     not_self = row_ids != col_ids
 
     wsum = wi + wj
@@ -138,21 +139,23 @@ def dense_contact_deltas(pos, pos_prev, group, inv_mass, self_collide, active,
     list: returns (delta (N, 3), count (N,)).
     """
     n = pos.shape[0]
-    n_pad = -(-n // TILE) * TILE
+    lcm = TILE if TILE % TILE_J == 0 else (TILE_J if TILE_J % TILE == 0
+                                           else TILE * TILE_J)
+    n_pad = -(-n // lcm) * lcm
     cols = _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos,
                  n_pad)
     rows = cols.T  # (n_pad, 16)
     scal = jnp.array([[rest_dist, particle_friction, filter_dist, float(n)]],
                      dtype=jnp.float32)
 
-    grid = (n_pad // TILE, n_pad // TILE)
+    grid = (n_pad // TILE, n_pad // TILE_J)
     out = pl.pallas_call(
         _contact_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, TILE_J), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE, 8), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
