@@ -61,7 +61,8 @@ def bench_pbd(n=5000, t=100, substeps=2, iterations=4, trials=3):
 
 def bench_gnn(batch=512, steps=20, trials=3):
     """Batched single-step GNN rollout throughput: graph steps/s =
-    batch * steps / wall."""
+    batch * steps / wall. f32 with matmul aggregation measured fastest
+    (bf16 relayouts cost more than they save at nf=150)."""
     from adaptigraph_tpu.dynamics.model import DynamicsPredictor, ModelConfig
     from adaptigraph_tpu.dynamics.train import make_apply
     from adaptigraph_tpu.ops import build_edges
