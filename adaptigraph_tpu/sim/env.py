@@ -76,7 +76,12 @@ class SimEnv:
         self.camera_view = int(d.get("camera_view", 1))
         self.max_chunks = int(d.get("max_chunks", DEFAULT_MAX_CHUNKS))
         self.settle_steps = int(d.get("settle_steps", 200))
-        self.chunk_group = max(1, min(int(d.get("chunk_group", 8)), self.max_chunks))
+        # per-material default dispatch group: keep single device programs
+        # well under the remote worker's execution watchdog (cloth runs 200
+        # solver iterations per frame, granular 72 at ~27k particles)
+        default_group = {"cloth": 2, "granular": 1}.get(self.obj, 8)
+        self.chunk_group = max(1, min(int(d.get("chunk_group", default_group)),
+                                      self.max_chunks))
         self.caps = MATERIAL_CAPS[self.obj]
         self.wkspace_height = 0.5
         self.wkspace_width = 3.5
@@ -166,15 +171,19 @@ class SimEnv:
         if self._group_fn is None:
             self._compile_push()
 
-        # settle 200 frames (flex_env.py:246-247)
+        # settle 200 frames (flex_env.py:246-247), dispatched in chunk groups:
+        # long-running single programs can trip the remote worker's watchdog
         st = self.state
-        hold_pos = jnp.tile(st.shapes.pos[None], (self.settle_steps, 1, 1))
-        hold_quat = jnp.tile(st.shapes.quat[None], (self.settle_steps, 1, 1))
-        from adaptigraph_tpu.engine import rollout_steps
-
-        st, _ = rollout_steps(st, self.spec, hold_pos, hold_quat,
-                              substeps=self.substeps, iterations=self.iterations,
-                              record=False)
+        n_set = -(-self.settle_steps // CHUNK)
+        total = n_set * CHUNK
+        park_eef = np.tile(np.array([0.0, 20.0, 0.0], np.float32), (total, 1))
+        park_rot = np.tile(np.eye(3, dtype=np.float32)[None], (total, 1, 1))
+        self.state = st
+        st, _, _, _, nan = self._push_fn(
+            st, self.spec, park_eef, park_rot, np.full(total, 0.4, np.float32),
+            np.zeros(10, np.int64), np.zeros((10, 3), np.float32),
+            np.zeros(total, np.float32), n_chunks_active=n_set,
+            max_chunks_override=n_set)
         self.state = st
 
         # FPS subsample indices for storage (flex_env.py:171-173)
@@ -247,15 +256,17 @@ class SimEnv:
         self._group_fn = group_fn
 
     def _push_fn(self, state, spec, eef_traj, rot_traj, gap_traj, attach_idx,
-                 attach_rel, attach_active, n_chunks_active=None):
+                 attach_rel, attach_active, n_chunks_active=None,
+                 max_chunks_override=None):
         """Host loop over chunk groups; dispatches only the chunks the push
         (+ settle) actually needs and pads the remaining records."""
         g = self.chunk_group
-        eef_c = np.asarray(eef_traj).reshape(self.max_chunks, CHUNK, 3)
-        rot_c = np.asarray(rot_traj).reshape(self.max_chunks, CHUNK, 3, 3)
-        gap_c = np.asarray(gap_traj).reshape(self.max_chunks, CHUNK)
-        att_c = np.asarray(attach_active).reshape(self.max_chunks, CHUNK)
-        n_active = n_chunks_active or self.max_chunks
+        mc = max_chunks_override or self.max_chunks
+        eef_c = np.asarray(eef_traj).reshape(mc, CHUNK, 3)
+        rot_c = np.asarray(rot_traj).reshape(mc, CHUNK, 3, 3)
+        gap_c = np.asarray(gap_traj).reshape(mc, CHUNK)
+        att_c = np.asarray(attach_active).reshape(mc, CHUNK)
+        n_active = n_chunks_active or mc
         n_groups = -(-n_active // g)
         pos_rec, nan_any = [], False
         st = state
@@ -273,12 +284,11 @@ class SimEnv:
             if bool(np.asarray(nan)):
                 nan_any = True
                 break
-        while len(pos_rec) < self.max_chunks:
+        while len(pos_rec) < mc:
             pos_rec.append(pos_rec[-1])
         eef_rec = eef_c[:, -1]
         rot_rec = rot_c[:, -1]
-        return st, np.stack(pos_rec[: self.max_chunks]), eef_rec, rot_rec, \
-            np.array([nan_any])
+        return st, np.stack(pos_rec[:mc]), eef_rec, rot_rec, np.array([nan_any])
 
     # ---------- step ----------
 
