@@ -23,14 +23,12 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from adaptigraph_tpu.dynamics.dataset import DynDataset, load_dataset, load_positions
-from adaptigraph_tpu.dynamics.model import DynamicsPredictor, model_config_from_yaml
+from adaptigraph_tpu.dynamics.dataset import DynDataset
 from adaptigraph_tpu.dynamics.train import load_checkpoint, init_model, make_apply
 from adaptigraph_tpu.ops import build_edges
 from adaptigraph_tpu.utils import load_config

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from adaptigraph_tpu.engine.state import SHAPE_BOX, SHAPE_CAPSULE, SHAPE_PLANE, ShapeSet
+from adaptigraph_tpu.engine.state import SHAPE_BOX, SHAPE_CAPSULE, ShapeSet
 from adaptigraph_tpu.utils import geometry as geo
 
 _EPS = 1e-9

@@ -10,7 +10,6 @@ All pure jnp, vmappable over the MPPI population.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from adaptigraph_tpu.ops import box_loss, chamfer

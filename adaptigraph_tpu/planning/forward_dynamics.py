@@ -17,11 +17,8 @@ mesh 'data' axis.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from adaptigraph_tpu.ops import build_edges
 from adaptigraph_tpu.planning.actions import decode_action

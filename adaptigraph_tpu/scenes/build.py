@@ -28,7 +28,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from adaptigraph_tpu.engine.state import (
-    ClusterSet,
     SceneSpec,
     SceneState,
     ShapeSet,

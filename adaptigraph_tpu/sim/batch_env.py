@@ -31,8 +31,6 @@ import jax
 import jax.numpy as jnp
 
 from adaptigraph_tpu.engine import xpbd_step
-from adaptigraph_tpu.scenes import build_scene
-from adaptigraph_tpu.sim.data_gen import gen_episode  # noqa: F401 (single-env ref)
 from adaptigraph_tpu.sim.env import CHUNK, SimEnv
 from adaptigraph_tpu.sim.episode_io import save_property_params, store_data
 from adaptigraph_tpu.utils import load_config

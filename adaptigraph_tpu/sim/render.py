@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from adaptigraph_tpu.engine.state import SHAPE_BOX, SHAPE_CAPSULE, SHAPE_PLANE, ShapeSet
+from adaptigraph_tpu.engine.state import SHAPE_BOX, SHAPE_CAPSULE, ShapeSet
 from adaptigraph_tpu.utils import geometry as geo
 
 _FAR = 1e9
