@@ -167,6 +167,9 @@ class SimEnv:
         self.substeps, self.iterations = b.substeps, b.iterations
         self.props = b.props
         self.colors = np.tile(_PARTICLE_COLORS[self.obj][None], (self.caps.n, 1))
+        # host snapshot: the live state buffers get donated by chunk dispatch,
+        # so restores must not read self.build.state later
+        self._inv_mass0 = np.asarray(b.state.particles.inv_mass)
         self._eef_prev = None
         if self._group_fn is None:
             self._compile_push()
@@ -369,7 +372,7 @@ class SimEnv:
         # restore grasped particle mass (flex_env.py:384-388)
         if self.gripper:
             w = st.particles.inv_mass.at[jnp.array(attach_idx)].set(
-                self.build.state.particles.inv_mass[jnp.array(attach_idx)])
+                jnp.array(self._inv_mass0[attach_idx]))
             st = st._replace(particles=st.particles._replace(inv_mass=w))
         self.state = st
 
