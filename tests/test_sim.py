@@ -203,6 +203,34 @@ class TestSimEnv:
         assert np.linalg.norm(after - before, axis=1).max() > 0.05
         assert len(data[1]) >= 1  # captured at least one frame
 
+    def test_gripper_grasp_cycle(self, monkeypatch):
+        """Cloth-style gripper push: grasp pins particles, release restores
+        their inverse mass (the donated-buffer regression test)."""
+        import adaptigraph_tpu.sim.env as env_mod
+        from adaptigraph_tpu.scenes.build import Caps
+
+        monkeypatch.setattr(env_mod, "build_scene", _tiny_build)
+        monkeypatch.setitem(env_mod.MATERIAL_CAPS, "cloth",
+                            Caps(n=64, s=4, c=2, k=4, m=8))
+        cfg = Config({"dataset": {
+            "obj": "cloth", "gripper": True, "pusher_len": 1.0,
+            "robot_speed_inv": 10, "screenWidth": 48, "screenHeight": 48,
+            "max_chunks": 4, "settle_steps": 10, "action_space": 2,
+            "camera_view": 1, "fps": False,
+        }})
+        env = env_mod.SimEnv(cfg)
+        env.reset(seed=2)
+        w0 = np.asarray(env.state.particles.inv_mass).copy()
+        out = env.step(np.array([0.0, 0.0, 0.8, 0.3]), save_data=True,
+                       data=([], [], []))
+        assert out is not None
+        obs, data = out
+        # all inverse masses restored after release
+        w1 = np.asarray(env.state.particles.inv_mass)
+        np.testing.assert_allclose(w1, w0)
+        # eef states carry two finger rows
+        assert data[2][0].shape == (2, 14)
+
     def test_seed_determinism(self, tiny_env):
         tiny_env.reset(seed=3)
         a1 = tiny_env.sample_action()
