@@ -1,0 +1,89 @@
+"""Perception pipeline tests: depth back-projection consistency with the
+renderer, voxel downsampling, outlier removal, and state extraction from
+synthetic rendered frames."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from adaptigraph_tpu.engine.state import SHAPE_PLANE, make_shapes
+from adaptigraph_tpu.planning.perception import (
+    PerceptionModule, depth_mask_segmenter, depth_to_points,
+    remove_statistical_outliers, voxel_downsample)
+from adaptigraph_tpu.sim.cameras import CameraRig, view_matrix
+from adaptigraph_tpu.sim.render import render_frame
+from adaptigraph_tpu.sim.env import _fwd_from_angle
+
+
+def _render_cloud(points, size=128):
+    """Render a particle cloud from camera view 1 and return the frame +
+    camera params (scaled intrinsics)."""
+    rig = CameraRig(size, size)
+    pos, ang = rig.single_view(1)
+    fwd = _fwd_from_angle(ang)
+    shapes = make_shapes([SHAPE_PLANE], [[0, 0, 0]], [[0, 0, 0]], [[0, 0, 0, 1]],
+                         m_max=2)
+    intr = rig.intrinsics()  # CameraRig(size) intrinsics are already size-correct
+    img = render_frame(jnp.array(points), jnp.full((len(points), 3), 0.8),
+                       jnp.ones(len(points), bool), shapes,
+                       jnp.array(pos, jnp.float32), jnp.array(fwd), jnp.array(intr),
+                       width=size, height=size, point_radius=0.1)
+    extr = view_matrix(pos, ang)
+    return np.asarray(img), intr, extr
+
+
+class TestBackprojection:
+    def test_roundtrip_through_renderer(self):
+        """Render particles above the table -> segment -> back-project: the
+        recovered cloud must sit near the original particles."""
+        pts = np.array([[0.0, 1.0, 0.0], [0.5, 1.1, 0.3], [-0.4, 0.9, -0.2]],
+                       np.float32)
+        img, intr, extr = _render_cloud(pts)
+        depth = img[..., 4]
+        mask = depth_mask_segmenter(img[..., :3], depth, 0.5, intr, extr)
+        assert mask.sum() > 0
+        cloud = depth_to_points(depth, intr, extr, mask=mask)
+        assert len(cloud) > 0
+        # every recovered point within ~particle radius of an input particle
+        d = np.linalg.norm(cloud[:, None] - pts[None], axis=-1).min(1)
+        assert np.quantile(d, 0.9) < 0.2
+
+    def test_floor_points_rejected_by_segmenter(self):
+        pts = np.array([[0.0, 1.0, 0.0]], np.float32)
+        img, intr, extr = _render_cloud(pts)
+        depth = img[..., 4]
+        mask = depth_mask_segmenter(img[..., :3], depth, 0.5, intr, extr)
+        cloud = depth_to_points(depth, intr, extr, mask=mask)
+        assert (cloud[:, 1] > 0.5).all()  # nothing below the table height
+
+
+class TestCloudOps:
+    def test_voxel_downsample_merges(self):
+        pts = np.array([[0.0, 0, 0], [0.001, 0, 0], [1.0, 0, 0]], np.float64)
+        out = voxel_downsample(pts, 0.1)
+        assert len(out) == 2
+
+    def test_outlier_removal(self):
+        rng = np.random.RandomState(0)
+        cluster = rng.randn(100, 3) * 0.05
+        outlier = np.array([[10.0, 10.0, 10.0]])
+        pts = np.concatenate([cluster, outlier])
+        out = remove_statistical_outliers(pts, k=10, std_ratio=2.0)
+        assert len(out) <= 100
+        assert np.abs(out).max() < 5.0
+
+
+class TestStateExtraction:
+    def test_get_state_cur_from_render(self):
+        rng = np.random.RandomState(3)
+        pts = (rng.rand(200, 3) * np.array([1.5, 0.1, 1.5])
+               + np.array([-0.7, 0.9, -0.7])).astype(np.float32)
+        img, intr, extr = _render_cloud(pts)
+        task = {"fps_radius": 0.2, "max_nobj": 50, "k_filter": 1.0}
+        pm = PerceptionModule(task, voxel=0.05)
+        state, cloud = pm.get_state_cur(img[None, ..., :3], img[None, ..., 4],
+                                        intr[None], extr[None],
+                                        rng=np.random.RandomState(0))
+        assert 0 < len(state) <= 50
+        # keypoints lie near the object cloud
+        d = np.linalg.norm(state[:, None] - pts[None], axis=-1).min(1)
+        assert np.quantile(d, 0.9) < 0.3
