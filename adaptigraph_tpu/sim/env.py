@@ -406,17 +406,31 @@ class SimEnv:
     def _eef_states_from_pose(self, eef, rot):
         """(n_eef, 14) shape-state rows for the tool link(s): pos, prev_pos,
         quat, prev_quat — the schema of pyflex shape states consumed by
-        preprocessing (preprocess.py:22-49)."""
-        quat = np.asarray(_mat33_to_quat(jnp.asarray(rot)))
+        preprocessing (preprocess.py:22-49).
+
+        Link positions are placed so the preprocessing offsets from config
+        (eef.pos — rope [0,0,1], granular z=1.25, cloth fingers [0,-+0.2,0.6])
+        land on the physical tool interaction point."""
+        rotm = np.asarray(rot)
         pos = np.asarray(eef)
-        if self._eef_prev is None:
-            prev_pos, prev_quat = pos, quat
+        quat = np.asarray(_mat33_to_quat(jnp.asarray(rot)))
+        if self.gripper:
+            # finger links 1.2 below the base at -+0.2 lateral: the config
+            # offsets [0, -+0.2, 0.6] then both map to the grasp point
+            # (base + z_local * stick_len, stick_len=1.8)
+            z_link = self.stick_len - 0.6
+            link_pos = [pos + rotm @ np.array([0.0, +0.2, z_link]),
+                        pos + rotm @ np.array([0.0, -0.2, z_link])]
         else:
-            prev_pos, prev_quat = self._eef_prev
-        self._eef_prev = (pos, quat)
-        n_eef = 2 if self.gripper else 1
-        row = np.concatenate([pos, prev_pos, quat, prev_quat]).astype(np.float32)
-        return np.tile(row[None], (n_eef, 1))
+            link_pos = [pos]
+        if self._eef_prev is None:
+            prev, prev_quat = link_pos, quat
+        else:
+            prev, prev_quat = self._eef_prev
+        rows = [np.concatenate([p, pp, quat, prev_quat]).astype(np.float32)
+                for p, pp in zip(link_pos, prev)]
+        self._eef_prev = (link_pos, quat)
+        return np.stack(rows)
 
     def _store(self, data, particles=None, store_tool_pose=None):
         imgs_list, particle_list, eef_list = data
