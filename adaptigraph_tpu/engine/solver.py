@@ -116,21 +116,24 @@ def _particle_contact_deltas(pos, pos_prev, nbr_idx, eligible, share,
     return jnp.sum(delta, axis=1), jnp.sum(contact.astype(pos.dtype), axis=1)
 
 
-def _cluster_deltas(pos, clusters, cluster_rot):
+def _cluster_deltas(pos, clusters, cluster_rot, rest=None):
     """Shape-matching corrections (NvFlex rigids / soft clusters,
-    flexExtSoft.cpp:551). Returns (delta, count, new_rotations)."""
+    flexExtSoft.cpp:551). `rest` overrides clusters.rest when plasticity has
+    reshaped the rest configuration. Returns (delta, count, new_rotations)."""
     member = clusters.member  # (C, K)
     mvalid = clusters.member_valid
+    if rest is None:
+        rest = clusters.rest
     p = pos[member]  # (C, K, 3)
     mv = mvalid.astype(pos.dtype)[..., None]
     nmem = jnp.maximum(jnp.sum(mv, axis=1), 1.0)  # (C, 1)
     com = jnp.sum(p * mv, axis=1) / nmem
     centered = (p - com[:, None, :]) * mv
-    a = jnp.einsum("cki,ckj->cij", centered, clusters.rest * mv,
+    a = jnp.einsum("cki,ckj->cij", centered, rest * mv,
                    precision=jax.lax.Precision.HIGHEST)
     q_new = geo.extract_rotation(a, cluster_rot, iterations=6)
     q_new = jnp.where(clusters.valid[:, None], q_new, cluster_rot)
-    goal = com[:, None, :] + geo.quat_rotate(q_new[:, None, :], clusters.rest)
+    goal = com[:, None, :] + geo.quat_rotate(q_new[:, None, :], rest)
     corr = (goal - p) * clusters.stiffness[:, None, None]
     ok = mvalid & clusters.valid[:, None]
     corr = jnp.where(ok[..., None], corr, 0.0)
@@ -139,6 +142,28 @@ def _cluster_deltas(pos, clusters, cluster_rot):
     cnt = jnp.zeros((n,), dtype=pos.dtype).at[member.reshape(-1)].add(
         ok.astype(pos.dtype).reshape(-1))
     return delta, cnt, q_new
+
+
+def _plastic_flow(pos, clusters, cluster_rot, rest, threshold, creep):
+    """Shape-matching plasticity (NvFlexParams plasticThreshold/plasticCreep,
+    NvFlex.h:95-154): once per substep, clusters whose RMS deviation from the
+    rest shape (measured in the rotated-back local frame) exceeds `threshold`
+    absorb `creep` of the deformation into their rest offsets. Rest offsets
+    are re-centered so the cluster COM stays well-defined."""
+    member = clusters.member
+    mv = clusters.member_valid.astype(pos.dtype)[..., None]
+    nmem = jnp.maximum(jnp.sum(mv, axis=1), 1.0)
+    p = pos[member]
+    com = jnp.sum(p * mv, axis=1) / nmem
+    # rotate the deformed configuration back into the rest frame
+    local = geo.quat_rotate(geo.quat_conjugate(cluster_rot)[:, None, :],
+                            (p - com[:, None, :])) * mv
+    dev = (local - rest) * mv
+    rms = jnp.sqrt(jnp.sum(dev * dev, axis=(1, 2)) / nmem[:, 0])  # (C,)
+    flow = (rms > threshold) & clusters.valid
+    new_rest = rest + jnp.where(flow[:, None, None], creep, 0.0) * dev
+    new_rest = (new_rest - jnp.sum(new_rest * mv, axis=1, keepdims=True) / nmem[:, :, None]) * mv
+    return new_rest
 
 
 def _global_cluster_deltas(pos, active, inv_mass, rest, stiffness, q_prev):
@@ -164,7 +189,8 @@ def _nlerp(q0, q1, t):
 
 def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
              shapes: ShapeSet, s_pos, s_quat, s_vel, nbr_idx, eligible, share,
-             dt, iterations: int, dense: bool = False, interpret: bool = False):
+             dt, iterations: int, dense: bool = False, interpret: bool = False,
+             cluster_rest=None):
     p = particles
     prm = spec.params
     movable = (p.inv_mass > 0) & p.active
@@ -206,7 +232,8 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
             delta = delta + delta_s
             cnt = cnt + cnt_s
         if has_clusters:
-            delta_m, cnt_m, cl_rot = _cluster_deltas(pos, spec.clusters, cl_rot)
+            delta_m, cnt_m, cl_rot = _cluster_deltas(pos, spec.clusters, cl_rot,
+                                                     rest=cluster_rest)
             delta = delta + delta_m
             cnt = cnt + cnt_m
         delta_g, cnt_g, gl_rot = _global_cluster_deltas(
@@ -219,6 +246,10 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     pos, cluster_rot, global_rot = jax.lax.fori_loop(
         0, iterations, iter_body, (pos, cluster_rot, global_rot))
 
+    if has_clusters and cluster_rest is not None:
+        cluster_rest = _plastic_flow(pos, spec.clusters, cluster_rot, cluster_rest,
+                                     prm.plastic_threshold, prm.plastic_creep)
+
     vel = (pos - pos_prev) / dt
     # dissipation: velocity loss proportional to contact count is approximated
     # as plain viscous loss here (granular scenes rely on friction+damping)
@@ -227,7 +258,7 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     slow = jnp.linalg.norm(vel, axis=-1, keepdims=True) < prm.sleep_threshold
     pos = jnp.where(slow, pos_prev, pos)
     vel = jnp.where(slow, 0.0, vel)
-    return p._replace(pos=pos, vel=vel), cluster_rot, global_rot
+    return p._replace(pos=pos, vel=vel), cluster_rot, global_rot, cluster_rest
 
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
@@ -267,19 +298,21 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
     ts = (jnp.arange(substeps, dtype=jnp.float32) + 1.0) / substeps
 
     def sub(carry, t):
-        particles, cl_rot, gl_rot = carry
+        particles, cl_rot, gl_rot, cl_rest = carry
         s_pos = shapes.prev_pos + (shapes.pos - shapes.prev_pos) * t
         s_quat = _nlerp(shapes.prev_quat, shapes.quat, t)
-        particles, cl_rot, gl_rot = _substep(
+        particles, cl_rot, gl_rot, cl_rest = _substep(
             particles, cl_rot, gl_rot, spec, shapes, s_pos, s_quat, s_vel,
             nbr_idx, eligible, share, dt_sub, iterations,
-            dense=dense_contacts, interpret=interpret)
-        return (particles, cl_rot, gl_rot), None
+            dense=dense_contacts, interpret=interpret,
+            cluster_rest=cl_rest)
+        return (particles, cl_rot, gl_rot, cl_rest), None
 
-    (particles, cl_rot, gl_rot), _ = jax.lax.scan(
-        sub, (state.particles, state.cluster_rot, state.global_rot), ts)
+    (particles, cl_rot, gl_rot, cl_rest), _ = jax.lax.scan(
+        sub, (state.particles, state.cluster_rot, state.global_rot,
+              state.cluster_rest), ts)
     return SceneState(particles=particles, shapes=shapes, cluster_rot=cl_rot,
-                      global_rot=gl_rot)
+                      global_rot=gl_rot, cluster_rest=cl_rest)
 
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k", "record"))

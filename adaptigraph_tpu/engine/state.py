@@ -104,6 +104,13 @@ class SolverParams(NamedTuple):
     # eNvFlexPhaseSelfCollideFilter: same-group pairs closer than this in the
     # REST configuration never collide (NvFlex.h:160-170). 0 disables.
     collide_filter_dist: jnp.ndarray = 0.0
+    # shape-matching plasticity (NvFlexParams plasticThreshold/plasticCreep,
+    # NvFlex.h:95-154): when a cluster's mean deformation from its rest shape
+    # exceeds the threshold, rest offsets creep toward the deformed
+    # configuration at `plastic_creep` per substep. Both zero in all three
+    # reference scenes; enabled by passing `cluster_rest` in SceneState.
+    plastic_threshold: jnp.ndarray = 0.0
+    plastic_creep: jnp.ndarray = 0.0
 
 
 class SceneSpec(NamedTuple):
@@ -124,6 +131,10 @@ class SceneState(NamedTuple):
     shapes: ShapeSet
     cluster_rot: jnp.ndarray  # (C, 4) warm-started shape-match rotations
     global_rot: jnp.ndarray  # (4,) rotation of the global cluster
+    # plastic rest offsets (C, K, 3): None = elastic clusters (rest shape
+    # stays spec.clusters.rest). Seed with jnp.array(spec.clusters.rest) to
+    # enable plastic flow governed by params.plastic_threshold/creep.
+    cluster_rest: jnp.ndarray | None = None
 
 
 def make_particles(pos, inv_mass=None, group=None, self_collide=False, n_max=None) -> ParticleState:

@@ -226,6 +226,45 @@ class TestShapeMatching:
         # shape; but the stiff one must not deform MORE than soft
         assert spread_stiff <= spread_soft + 1e-3
 
+    def test_plasticity_absorbs_deformation(self):
+        """plasticThreshold/plasticCreep (NvFlex.h:95-154): an over-stretched
+        plastic cluster keeps (part of) the deformation after release, while
+        the elastic cluster snaps back to its rest extent."""
+        rest_pts = np.array([[0.0, 0, 0], [0.5, 0, 0], [1.0, 0, 0]], dtype=np.float32)
+        start = rest_pts.copy()
+        start[2] = [1.8, 0, 0]  # stretch the end well past the threshold
+
+        def run(plastic):
+            clusters = make_clusters([[0, 1, 2]], rest_pts, stiffness=0.5,
+                                     c_max=2, k_max=4)
+            spec = _spec(3, clusters=clusters, gravity=0.0,
+                         plastic_threshold=0.02, plastic_creep=0.3)
+            # phase 1: hold both ends pinned in the stretched pose — sustained
+            # load is what drives plastic flow (a transient snaps back first)
+            inv_mass = np.array([0.0, 1.0, 0.0], dtype=np.float32)
+            st = _state(make_particles(start, inv_mass=inv_mass), _floor())
+            if plastic:
+                st = st._replace(cluster_rest=jnp.array(clusters.rest))
+            for _ in range(30):
+                st = xpbd_step(st, spec, substeps=2, iterations=6)
+            # phase 2: release the stretched end
+            released = make_particles(np.asarray(st.particles.pos)[:3],
+                                      inv_mass=np.array([0.0, 1.0, 1.0], np.float32))
+            st = st._replace(particles=released)
+            for _ in range(60):
+                st = xpbd_step(st, spec, substeps=2, iterations=6)
+            pos = np.asarray(st.particles.pos)
+            return np.linalg.norm(pos[2] - pos[0]), st
+
+        elastic_extent, _ = run(plastic=False)
+        plastic_extent, st = run(plastic=True)
+        assert elastic_extent == pytest.approx(1.0, abs=2e-2)  # snaps back
+        assert plastic_extent > 1.3  # permanent set retained
+        # the spec's rest offsets are untouched; the flow lives in state
+        rest = np.asarray(st.cluster_rest)[0, :3]
+        assert np.ptp(rest[:, 0]) > 1.3  # rest shape itself stretched
+        np.testing.assert_allclose(rest.mean(0), 0.0, atol=1e-5)  # re-centered
+
 
 class TestFriction:
     def test_high_friction_floor_stops_sliding(self):
