@@ -121,7 +121,24 @@ def build_rope(scene: dict, rng: np.random.RandomState, caps: Caps):
     # (by_softrope.h:235, scenes.py:19-21)
     length_world = scene["length"] * 50 * radius  # ~3.75-4.5
     rope_radius_world = 0.0329 * (3.0 * 50 * radius) / 2  # ~0.074
-    pts = _cylinder_lattice(length_world, rope_radius_world, spacing=radius)
+    if scene.get("mesh_path"):
+        # OBJ-driven path, matching the reference's rope.obj import:
+        # normalize to unit extent, non-uniform scale to the world dims,
+        # then volume-sample at the particle radius (SampleMesh)
+        from adaptigraph_tpu.scenes.mesh import import_obj, sample_mesh
+
+        m = import_obj(scene["mesh_path"]).normalized()
+        lo, hi = m.bounds
+        ext = hi - lo
+        scale = np.array([length_world / max(ext[0], 1e-6),
+                          2 * rope_radius_world / max(ext[1], 1e-6),
+                          2 * rope_radius_world / max(ext[2], 1e-6)], np.float32)
+        m = m.scaled(scale)
+        lo, hi = m.bounds
+        m = m.translated(-(lo + hi) / 2)
+        pts = sample_mesh(m, radius)
+    else:
+        pts = _cylinder_lattice(length_world, rope_radius_world, spacing=radius)
     # transform: R_y(90) @ R_z(z_rot) then translate (scenes.py:36-42)
     rot = _rot_y(scene["y_rotation"]) @ _rot_z(scene["z_rotation"])
     pts = pts @ rot.T + scene["translation"].astype(np.float32)
@@ -314,11 +331,15 @@ _BUILDERS = {"rope": build_rope, "granular": build_granular, "cloth": build_clot
 
 
 def build_scene(material: str, rng: np.random.RandomState, shapes: ShapeSet | None = None,
-                caps: Caps | None = None) -> SceneBuild:
+                caps: Caps | None = None, scene_overrides: dict | None = None) -> SceneBuild:
     """Sample and build a full scene. `shapes` supplies the kinematic set
-    (table + tool); if None, a lone floor plane is used."""
+    (table + tool); if None, a lone floor plane is used. `scene_overrides`
+    patches sampled scene params (e.g. rope `mesh_path` for the OBJ-driven
+    asset path mirroring the reference's rope.obj import)."""
     caps = caps or MATERIAL_CAPS[material]
     scene, props = sample_scene(material, rng)
+    if scene_overrides:
+        scene.update(scene_overrides)
     particles, spec, n_active = _BUILDERS[material](scene, rng, caps)
     if shapes is None:
         from adaptigraph_tpu.engine.state import SHAPE_PLANE, make_shapes

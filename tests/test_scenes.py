@@ -97,6 +97,27 @@ class TestBuilders:
         np.testing.assert_allclose(stiff, 0.8)
         assert (b.substeps, b.iterations) == (12, 6)
 
+    def test_rope_from_obj_mesh(self, tmp_path):
+        """OBJ-driven rope (the reference's rope.obj import path): same
+        world dims, clusters, and pinning as the procedural lattice."""
+        from adaptigraph_tpu.scenes.mesh import export_obj, make_cylinder_mesh
+
+        obj = tmp_path / "rope.obj"
+        export_obj(make_cylinder_mesh(length=1.0, radius=0.0165), str(obj))
+        b = build_scene("rope", np.random.RandomState(0),
+                        scene_overrides={"mesh_path": str(obj)})
+        b_ref = build_scene("rope", np.random.RandomState(0))
+        caps = MATERIAL_CAPS["rope"]
+        assert 0 < b.n_active <= caps.n
+        # same world extents as the procedural build (within a voxel)
+        pos = np.asarray(b.state.particles.pos)[: b.n_active]
+        ref = np.asarray(b_ref.state.particles.pos)[: b_ref.n_active]
+        np.testing.assert_allclose(pos.min(0), ref.min(0), atol=0.12)
+        np.testing.assert_allclose(pos.max(0), ref.max(0), atol=0.12)
+        assert int(np.asarray(b.spec.clusters.valid).sum()) > 0
+        w = np.asarray(b.state.particles.inv_mass)[: b.n_active]
+        assert 0 < (w == 0).sum() < b.n_active  # y<0.4 pinning applies
+
     def test_builds_are_seed_deterministic(self):
         b1 = build_scene("rope", np.random.RandomState(7))
         b2 = build_scene("rope", np.random.RandomState(7))
