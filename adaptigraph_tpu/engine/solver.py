@@ -199,6 +199,9 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     # builders' "none" encoding — those passes compile away entirely
     has_springs = spec.springs.idx.shape[0] > 0
     has_clusters = spec.clusters.member.shape[0] > 0 and spec.clusters.member.shape[1] > 0
+    # zero-row global_rest = "no global cluster": the whole pass (einsum +
+    # iterative polar decomposition) compiles away for granular/cloth scenes
+    has_global = spec.global_rest.shape[0] > 0
 
     vel = p.vel + jnp.array([0.0, 1.0, 0.0]) * (prm.gravity * dt)
     vel = vel * jnp.maximum(0.0, 1.0 - prm.damping * dt)
@@ -236,10 +239,12 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
                                                      rest=cluster_rest)
             delta = delta + delta_m
             cnt = cnt + cnt_m
-        delta_g, cnt_g, gl_rot = _global_cluster_deltas(
-            pos, p.active, p.inv_mass, spec.global_rest, spec.global_stiffness, gl_rot)
-        delta = delta + delta_g
-        cnt = cnt + cnt_g
+        if has_global:
+            delta_g, cnt_g, gl_rot = _global_cluster_deltas(
+                pos, p.active, p.inv_mass, spec.global_rest, spec.global_stiffness,
+                gl_rot)
+            delta = delta + delta_g
+            cnt = cnt + cnt_g
         pos = pos + prm.relaxation_factor * delta / jnp.maximum(cnt, 1.0)[:, None] * mov
         return pos, cl_rot, gl_rot
 

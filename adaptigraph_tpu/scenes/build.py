@@ -255,7 +255,7 @@ def build_granular(scene: dict, rng: np.random.RandomState, caps: Caps):
         springs=empty_springs(caps.s),
         clusters=clusters,
         global_stiffness=jnp.float32(0.0),
-        global_rest=jnp.zeros((caps.n, 3), dtype=jnp.float32),
+        global_rest=jnp.zeros((0, 3), dtype=jnp.float32),  # no global cluster
         rest_pos=jnp.array(rest_pos),
         params=params,
     )
@@ -320,7 +320,7 @@ def build_cloth(scene: dict, rng: np.random.RandomState, caps: Caps):
         springs=springs,
         clusters=empty_clusters(caps.c, caps.k),
         global_stiffness=jnp.float32(0.0),
-        global_rest=jnp.zeros((caps.n, 3), dtype=jnp.float32),
+        global_rest=jnp.zeros((0, 3), dtype=jnp.float32),  # no global cluster
         rest_pos=jnp.array(rest_pos),
         params=params,
     )

@@ -37,7 +37,7 @@ def bench_pbd(n=5000, t=100, substeps=2, iterations=4, trials=3):
     springs = make_springs(idx, rest=0.05, stiffness=0.3)
     spec = SceneSpec(springs=springs, clusters=empty_clusters(2, 4),
                      global_stiffness=jnp.float32(0.0),
-                     global_rest=jnp.zeros((n, 3)), rest_pos=jnp.zeros((n, 3)),
+                     global_rest=jnp.zeros((0, 3)), rest_pos=jnp.zeros((n, 3)),
                      params=SolverParams())
     st = SceneState(particles=p, shapes=shapes,
                     cluster_rot=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (2, 1)),

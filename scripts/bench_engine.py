@@ -40,7 +40,7 @@ def main(n=5000, t=100, substeps=2, iterations=4):
         springs=springs,
         clusters=empty_clusters(2, 4),
         global_stiffness=jnp.float32(0.0),
-        global_rest=jnp.zeros((n, 3)),
+        global_rest=jnp.zeros((0, 3)),
         rest_pos=jnp.zeros((n, 3)),
         params=SolverParams(),
     )

@@ -155,7 +155,7 @@ def _tiny_build(material, rng, shapes=None, caps=None):
     particles = make_particles(pts, group=0, self_collide=True, n_max=64)
     spec = SceneSpec(
         springs=empty_springs(4), clusters=empty_clusters(2, 4),
-        global_stiffness=jnp.float32(0.0), global_rest=jnp.zeros((64, 3)),
+        global_stiffness=jnp.float32(0.0), global_rest=jnp.zeros((0, 3)),
         rest_pos=jnp.zeros((64, 3)),
         params=SolverParams(collision_distance=jnp.float32(0.03)),
     )

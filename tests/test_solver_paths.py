@@ -17,7 +17,7 @@ def _scene(n=60, seed=0):
                          m_max=2)
     spec = SceneSpec(
         springs=empty_springs(0), clusters=empty_clusters(0, 0),
-        global_stiffness=jnp.float32(0.0), global_rest=jnp.zeros((n, 3)),
+        global_stiffness=jnp.float32(0.0), global_rest=jnp.zeros((0, 3)),
         rest_pos=jnp.zeros((n, 3)),
         params=SolverParams(radius=jnp.float32(0.08),
                             solid_rest_distance=jnp.float32(0.08),
