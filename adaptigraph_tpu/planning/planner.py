@@ -47,6 +47,19 @@ class Planner:
         self.rollout_best = bool(config.get("rollout_best", True))
         self.lr = float(config.get("lr", 1e-3))
         self.verbose = bool(config.get("verbose", False))
+        # optional jax.sharding.Mesh: the sample population's leading axis
+        # shards across it (the TPU substitute for the reference's 40
+        # sequential 500-sample chunks, plan.py:179-182,241-247); params and
+        # state_cur replicate, XLA inserts the collectives for the softmax
+        # reduction in optimize_action_mppi
+        self.mesh = config.get("mesh")
+
+    def _spread(self, act_seqs):
+        if self.mesh is None:
+            return act_seqs
+        from adaptigraph_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(act_seqs, self.mesh)
 
     def trajectory_optimization(self, state_cur, act_seq, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -66,6 +79,7 @@ class Planner:
                                          self.n_sample, sub, iter_index=i,
                                          noise_level=self.noise_level,
                                          push_length=self.push_length)
+            act_seqs = self._spread(act_seqs)
             model_out = self.model_rollout(state_cur, act_seqs)
             eval_out = self.evaluate_traj(model_out["state_seqs"], act_seqs,
                                           state_cur=state_cur)
@@ -95,8 +109,9 @@ class Planner:
     def _gd(self, state_cur, act_seq, key):
         import optax
 
-        act_seqs = sample_action_seq(jnp.asarray(act_seq, jnp.float32), self.lower,
-                                     self.upper, self.n_sample, key, iter_index=0)
+        act_seqs = self._spread(
+            sample_action_seq(jnp.asarray(act_seq, jnp.float32), self.lower,
+                              self.upper, self.n_sample, key, iter_index=0))
         opt = optax.adam(self.lr)
         opt_state = opt.init(act_seqs)
 
