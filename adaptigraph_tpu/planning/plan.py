@@ -41,6 +41,17 @@ from adaptigraph_tpu.planning.planner import Planner
 from adaptigraph_tpu.utils import load_config
 
 
+def _planner_mesh(n_sample):
+    """1-D data mesh over all visible devices when the population divides
+    evenly; None (single-program) otherwise."""
+    n_dev = len(jax.devices())
+    if n_dev > 1 and n_sample % n_dev == 0:
+        from adaptigraph_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(n_dev)
+    return None
+
+
 def flex_to_plan(points):
     """World (flex) -> planning frame: negate z."""
     out = np.asarray(points).copy()
@@ -111,6 +122,24 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
     n_sample = n_sample or int(tc["n_sample"])
     max_nobj = int(tc["max_nobj"])
 
+    # population shards across all visible chips (one SPMD program replaces
+    # the reference's sequential 500-sample chunks, plan.py:241-247); every
+    # array the rollout/evaluate closures capture must live on the same mesh
+    mesh = _planner_mesh(n_sample)
+    if mesh is not None:
+        from adaptigraph_tpu.parallel.mesh import replicate
+
+        params = replicate(params, mesh)
+        bbox_plan = replicate(bbox_plan, mesh)
+
+    def _rep(x):
+        x = jnp.asarray(x)
+        if mesh is not None:
+            from adaptigraph_tpu.parallel.mesh import replicate
+
+            return replicate(x, mesh)
+        return x
+
     start_i = 0
     if resume:
         import glob
@@ -129,29 +158,31 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
         obj_mask = np.zeros(max_nobj, bool)
         obj_mask[:nobj] = True
 
-        phys = jnp.asarray(ppm.physics_param[material])
+        phys = _rep(ppm.physics_param[material])
 
         if reward_mode == "change":
             # exploration objective: maximize state change
             # (random_interact.py:26-55)
             from adaptigraph_tpu.ops import chamfer as _chamfer
 
-            _sc = jnp.asarray(state_pad)
-            _scm = jnp.asarray(obj_mask)
+            _sc = _rep(state_pad)
+            _scm = _rep(obj_mask)
 
             def error_fn(state, mask=None):  # noqa: F811 — per-iteration bind
                 tgt = jnp.tile(_sc[None], (state.shape[0], 1, 1))
                 tm = jnp.tile(_scm[None], (state.shape[0], 1))
                 return -_chamfer(state, tgt, x_mask=mask, y_mask=tm)
 
+        state_pad_d = _rep(state_pad)
+        obj_mask_d = _rep(obj_mask)
+
         def model_rollout(sc, act_seqs):
-            return rollout(params, jnp.asarray(state_pad), jnp.asarray(obj_mask),
-                           act_seqs, phys)
+            return rollout(params, state_pad_d, obj_mask_d, act_seqs, phys)
 
         def evaluate(state_seqs, act_seqs, state_cur=None, **kw):
-            return running_cost(state_seqs, act_seqs, jnp.asarray(state_pad),
+            return running_cost(state_seqs, act_seqs, state_pad_d,
                                 error_fn, penalty_fn, bbox_plan,
-                                obj_mask=jnp.asarray(obj_mask))
+                                obj_mask=obj_mask_d)
 
         planner = Planner({
             "action_dim": 4,
@@ -166,13 +197,13 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
             "planner_type": "MPPI",
             "noise_level": float(tc["noise_level"]),
             "push_length": float(tc["push_length"]),
+            "mesh": mesh,
         })
         key, sub = jax.random.split(key)
         init_act = jnp.tile(
             jnp.asarray([[-1.0, 0.0, 0.0, float(tc["action_lower_lim"][3])]],
                         jnp.float32), (int(tc["n_look_ahead"]), 1))
-        res = planner.trajectory_optimization(jnp.asarray(state_pad), init_act,
-                                              key=sub)
+        res = planner.trajectory_optimization(state_pad_d, init_act, key=sub)
         act = np.asarray(res["act_seq"][0])
         state_pred = np.asarray(res["best_model_output"]["state_seqs"][0, -1])
         reward = float(res["best_eval_output"]["reward_seqs"][0])
