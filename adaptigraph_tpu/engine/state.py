@@ -118,8 +118,12 @@ class SceneSpec(NamedTuple):
 
     springs: SpringSet
     clusters: ClusterSet
-    global_stiffness: jnp.ndarray  # scalar; 0 disables the global cluster
-    global_rest: jnp.ndarray  # (N, 3) rest offsets for the global cluster
+    global_stiffness: jnp.ndarray  # scalar softness of the global cluster
+    # (N, 3) rest offsets for the global cluster, or shape (0, 3) for "this
+    # scene has no global cluster" — the zero-row form compiles the whole
+    # pass away (don't pass (N, 3) zeros with stiffness 0: that keeps the
+    # per-iteration polar decomposition in the program)
+    global_rest: jnp.ndarray
     rest_pos: jnp.ndarray  # (N, 3) rest positions (for the collide filter)
     params: SolverParams
 

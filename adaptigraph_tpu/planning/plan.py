@@ -126,19 +126,17 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
     # the reference's sequential 500-sample chunks, plan.py:241-247); every
     # array the rollout/evaluate closures capture must live on the same mesh
     mesh = _planner_mesh(n_sample)
-    if mesh is not None:
+
+    def _rep(tree):
+        """Replicate a pytree (or array) onto the planner mesh."""
+        if mesh is None:
+            return jax.tree.map(jnp.asarray, tree)
         from adaptigraph_tpu.parallel.mesh import replicate
 
-        params = replicate(params, mesh)
-        bbox_plan = replicate(bbox_plan, mesh)
+        return replicate(tree, mesh)
 
-    def _rep(x):
-        x = jnp.asarray(x)
-        if mesh is not None:
-            from adaptigraph_tpu.parallel.mesh import replicate
-
-            return replicate(x, mesh)
-        return x
+    params = _rep(params)
+    bbox_plan = _rep(bbox_plan)
 
     start_i = 0
     if resume:

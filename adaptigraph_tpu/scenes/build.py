@@ -139,6 +139,11 @@ def build_rope(scene: dict, rng: np.random.RandomState, caps: Caps):
         pts = sample_mesh(m, radius)
     else:
         pts = _cylinder_lattice(length_world, rope_radius_world, spacing=radius)
+    if len(pts) > caps.n:
+        # cap overflow by dropping tail x-slices (slightly shorter rope) —
+        # both sampling orders are x-major, same mechanism as the granular
+        # grid truncation
+        pts = pts[: caps.n]
     # transform: R_y(90) @ R_z(z_rot) then translate (scenes.py:36-42)
     rot = _rot_y(scene["y_rotation"]) @ _rot_z(scene["z_rotation"])
     pts = pts @ rot.T + scene["translation"].astype(np.float32)

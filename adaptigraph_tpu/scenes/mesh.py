@@ -476,14 +476,46 @@ def sample_mesh(mesh: TriMesh, radius: float, surface_samples: int = 0,
         r2 = rng.rand(surface_samples, 1)
         t = tri[fsel]
         surf = (1 - r1) * t[:, 0] + r1 * (1 - r2) * t[:, 1] + r1 * r2 * t[:, 2]
-        keep = np.ones(len(surf), dtype=bool)
-        for si, s in enumerate(surf):  # dedupe against interior + accepted surface
-            d = np.linalg.norm(pts - s, axis=1).min() if len(pts) else np.inf
-            if d < radius * 0.5:
-                keep[si] = False
-            else:
-                pts = np.concatenate([pts, s[None]], 0)
+        accepted: list = []
+        for s in surf:  # dedupe against interior + accepted surface
+            pool = pts if not accepted else np.concatenate([pts, np.asarray(accepted)], 0)
+            d = np.linalg.norm(pool - s, axis=1).min() if len(pool) else np.inf
+            if d >= radius * 0.5:
+                accepted.append(s)
+        if accepted:
+            pts = np.concatenate([pts, np.asarray(accepted)], 0)
     return pts.astype(np.float32)
+
+
+def _pairs_within(pts: np.ndarray, r: float):
+    """All unordered point pairs closer than r, via a uniform cell hash
+    (linear in output size — the dense N^2 matrix would need ~3 GB at the
+    16k-particle granular cap). Returns (idx (S, 2) i32, dist (S,) f32)."""
+    cell = np.floor(pts / r).astype(np.int64)
+    ii, jj = [], []
+    order: dict = {}
+    for i, c in enumerate(map(tuple, cell)):
+        order.setdefault(c, []).append(i)
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+    for c, members in order.items():
+        cand: list = []
+        for off in offsets:
+            cand.extend(order.get((c[0] + off[0], c[1] + off[1], c[2] + off[2]), []))
+        cand = np.asarray(cand)
+        m = np.asarray(members)
+        d = np.linalg.norm(pts[m][:, None] - pts[cand][None, :], axis=-1)
+        a, b = np.nonzero(d < r)
+        gi, gj = m[a], cand[b]
+        keep = gi < gj  # each unordered pair once
+        ii.append(gi[keep])
+        jj.append(gj[keep])
+    gi = np.concatenate(ii) if ii else np.zeros(0, np.int64)
+    gj = np.concatenate(jj) if jj else np.zeros(0, np.int64)
+    # a cross-cell pair is seen from both cells: keep each once
+    idx = np.unique(np.stack([gi, gj], 1), axis=0).astype(np.int32)
+    dist = np.linalg.norm(pts[idx[:, 0]] - pts[idx[:, 1]], axis=-1).astype(np.float32)
+    return idx, dist
 
 
 class SoftAsset(NamedTuple):
@@ -515,11 +547,7 @@ def soft_from_mesh(mesh: TriMesh, particle_radius: float,
     clusters = greedy_ball_cover(pts, cluster_spacing * particle_radius)
 
     if link_radius > 0:
-        d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
-        iu = np.triu_indices(len(pts), k=1)
-        hit = d[iu] < link_radius * particle_radius
-        idx = np.stack([iu[0][hit], iu[1][hit]], 1).astype(np.int32)
-        rest = d[iu][hit].astype(np.float32)
+        idx, rest = _pairs_within(pts, link_radius * particle_radius)
     else:
         idx = np.zeros((0, 2), dtype=np.int32)
         rest = np.zeros((0,), dtype=np.float32)

@@ -1,4 +1,5 @@
-"""Granular real-scale episode (16k cap) — validation data for the granular pipeline."""
+"""Granular real-scale episode — validation data for the granular pipeline.
+Episode index 2 samples a small 5x5-granule scene (kind to the remote worker)."""
 import sys, time
 sys.path.insert(0, '/root/repo')
 from adaptigraph_tpu.utils import load_config
@@ -10,5 +11,5 @@ cfg['dataset']['screenWidth'] = 360
 cfg['dataset']['screenHeight'] = 360
 cfg['dataset']['n_timestep'] = 1
 cfg['dataset']['robot_speed_inv'] = 150
-gen_episode(cfg, 0, True, '/root/repo/data/sim_data')
+gen_episode(cfg, 2, True, '/root/repo/data/sim_data')
 print(f"GRANULAR EPISODE done in {time.time()-t0:.0f}s", flush=True)

@@ -168,7 +168,7 @@ class TestSampleAndSoft:
         pts = asset.points + np.array([0, 0.5, 0], dtype=np.float32)
         particles = make_particles(pts, group=0, self_collide=True)
         clusters = make_clusters(asset.clusters, pts, asset.cluster_stiffness)
-        rest = np.zeros_like(pts)
+        rest = np.zeros((0, 3), np.float32)  # no global cluster
         spec = SceneSpec(
             springs=(make_springs(asset.spring_idx, asset.spring_rest,
                                   asset.spring_stiffness)

@@ -118,6 +118,24 @@ class TestBuilders:
         w = np.asarray(b.state.particles.inv_mass)[: b.n_active]
         assert 0 < (w == 0).sum() < b.n_active  # y<0.4 pinning applies
 
+    def test_rope_overflow_seed_truncates_to_cap(self):
+        # seed 4 samples length=2.98 -> 3129 lattice points > cap 3072;
+        # the build must truncate tail slices, not crash
+        b = build_scene("rope", np.random.RandomState(4))
+        assert b.n_active == MATERIAL_CAPS["rope"].n
+
+    def test_pairs_within_matches_dense(self, rng):
+        from adaptigraph_tpu.scenes.mesh import _pairs_within
+
+        pts = rng.rand(200, 3).astype(np.float32)
+        idx, dist = _pairs_within(pts, 0.2)
+        d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+        iu = np.triu_indices(200, k=1)
+        want = set(zip(iu[0][d[iu] < 0.2].tolist(), iu[1][d[iu] < 0.2].tolist()))
+        assert set(map(tuple, idx.tolist())) == want
+        np.testing.assert_allclose(
+            dist, np.linalg.norm(pts[idx[:, 0]] - pts[idx[:, 1]], axis=-1), rtol=1e-6)
+
     def test_builds_are_seed_deterministic(self):
         b1 = build_scene("rope", np.random.RandomState(7))
         b2 = build_scene("rope", np.random.RandomState(7))
