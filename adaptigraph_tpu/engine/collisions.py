@@ -13,7 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from adaptigraph_tpu.engine.state import SHAPE_BOX, SHAPE_CAPSULE, ShapeSet
+from adaptigraph_tpu.engine.state import (
+    SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CONVEX, ShapeSet)
 from adaptigraph_tpu.utils import geometry as geo
 
 _EPS = 1e-9
@@ -53,7 +54,28 @@ def _plane_sdf(q):
     return sd, n
 
 
-def shape_sdf(p_world, kind, size, pos, quat):
+def _convex_sdf(q, planes):
+    """Convex polytope as intersection of halfspaces n·x <= d.
+
+    planes: (P, 4) local halfspaces, zero-normal rows = padding. sd is exact
+    inside and near faces, an under-estimate only near edges/corners —
+    the standard convex collision approximation (the engine's analogue of
+    the triangle-mesh kinematic shapes added via pyflex_add_mesh,
+    PyFleX/bindings/pyflex.cpp:2828)."""
+    n = planes[..., :3]  # (P, 3)
+    d = planes[..., 3]
+    pvalid = jnp.sum(n * n, axis=-1) > 0.25
+    sd_p = jnp.einsum("...i,pi->...p", q, n) - d  # (..., P)
+    sd_p = jnp.where(pvalid, sd_p, -3e37)
+    best = jnp.argmax(sd_p, axis=-1)
+    sd = jnp.max(sd_p, axis=-1)
+    # all-padding plane set: report "very far" so no contact fires
+    sd = jnp.where(jnp.any(pvalid), sd, 3e37)
+    nrm = n[best]
+    return sd, nrm
+
+
+def shape_sdf(p_world, kind, size, pos, quat, planes=None):
     """Signed distance + world-frame outward normal of one shape for a batch
     of world points p_world (..., 3)."""
     q = geo.quat_rotate(geo.quat_conjugate(quat), p_world - pos)
@@ -62,6 +84,10 @@ def shape_sdf(p_world, kind, size, pos, quat):
     sd_pl, n_pl = _plane_sdf(q)
     sd = jnp.where(kind == SHAPE_BOX, sd_box, jnp.where(kind == SHAPE_CAPSULE, sd_cap, sd_pl))
     n_local = jnp.where((kind == SHAPE_BOX), n_box, jnp.where(kind == SHAPE_CAPSULE, n_cap, n_pl))
+    if planes is not None and planes.shape[-2] > 0:
+        sd_cx, n_cx = _convex_sdf(q, planes)
+        sd = jnp.where(kind == SHAPE_CONVEX, sd_cx, sd)
+        n_local = jnp.where((kind == SHAPE_CONVEX), n_cx, n_local)
     n_world = geo.quat_rotate(quat, n_local)
     return sd, n_world
 
@@ -86,8 +112,8 @@ def shape_contact_deltas(pos_pred, pos_prev, shapes: ShapeSet, shape_pos, shape_
     """
     cd = collision_distance
 
-    def one_shape(kind, size, spos, squat, svel, valid):
-        sd, n = shape_sdf(pos_pred, kind, size, spos, squat)
+    def one_shape(kind, size, spos, squat, svel, valid, planes):
+        sd, n = shape_sdf(pos_pred, kind, size, spos, squat, planes=planes)
         pen = cd - sd  # > 0 when closer than the collision offset
         in_contact = (pen > 0.0) & valid
         delta_n = n * pen[..., None]
@@ -101,7 +127,8 @@ def shape_contact_deltas(pos_pred, pos_prev, shapes: ShapeSet, shape_pos, shape_
         delta = jnp.where(in_contact[..., None], delta_n + delta_f, 0.0)
         return delta, in_contact.astype(jnp.float32)
 
-    deltas, counts = jax.vmap(one_shape, in_axes=(0, 0, 0, 0, 0, 0), out_axes=0)(
-        shapes.kind, shapes.size, shape_pos, shape_quat, shape_vel, shapes.valid
+    deltas, counts = jax.vmap(one_shape, in_axes=(0, 0, 0, 0, 0, 0, 0), out_axes=0)(
+        shapes.kind, shapes.size, shape_pos, shape_quat, shape_vel, shapes.valid,
+        shapes.planes,
     )
     return jnp.sum(deltas, axis=0), jnp.sum(counts, axis=0)

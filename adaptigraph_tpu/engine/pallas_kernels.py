@@ -52,60 +52,9 @@ def _contact_kernel(scal_ref, rows_ref, cols_ref, out_ref):
     friction = scal_ref[0, 1]
     filter_dist = scal_ref[0, 2]
 
-    r = rows_ref[:]  # (TILE, 16)
-    c = cols_ref[:]  # (16, TILE)
-
-    xi, yi, zi = r[:, 0:1], r[:, 1:2], r[:, 2:3]  # (TILE, 1)
-    xj, yj, zj = c[0:1, :], c[1:2, :], c[2:3, :]  # (1, TILE)
-    dx = xi - xj
-    dy = yi - yj
-    dz = zi - zj
-    d2 = dx * dx + dy * dy + dz * dz
-    dist = jnp.sqrt(d2 + _EPS)
-    inv_dist = 1.0 / dist
-    overlap = rest_dist - dist
-
-    gi, gj = r[:, 6:7], c[6:7, :]
-    sci, scj = r[:, 8:9], c[8:9, :]
-    wi, wj = r[:, 7:8], c[7:8, :]
-    ai, aj = r[:, 12:13], c[12:13, :]
-    same_group = jnp.abs(gi - gj) < 0.5
-    collide = (~same_group) | ((sci > 0.5) & (scj > 0.5))
-    # rest-distance self-collide filter
-    rdx = r[:, 9:10] - c[9:10, :]
-    rdy = r[:, 10:11] - c[10:11, :]
-    rdz = r[:, 11:12] - c[11:12, :]
-    rest_d2 = rdx * rdx + rdy * rdy + rdz * rdz
-    collide = collide & ~(same_group & (rest_d2 < filter_dist * filter_dist))
-
-    row_ids = i * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
-    col_ids = j * TILE_J + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_J), 1)
-    not_self = row_ids != col_ids
-
-    wsum = wi + wj
-    contact = ((overlap > 0.0) & collide & not_self & (wsum > 0.0)
-               & (ai > 0.5) & (aj > 0.5))
-    share = wi / (wsum + _EPS)
-    cf = jnp.where(contact, 1.0, 0.0)
-    mag = share * overlap * inv_dist * cf
-
-    # friction: tangential relative displacement this substep
-    mx = (xi - r[:, 3:4]) - (xj - c[3:4, :])
-    my = (yi - r[:, 4:5]) - (yj - c[4:5, :])
-    mz = (zi - r[:, 5:6]) - (zj - c[5:6, :])
-    rel_n = (mx * dx + my * dy + mz * dz) * inv_dist * inv_dist
-    tx = mx - rel_n * dx
-    ty = my - rel_n * dy
-    tz = mz - rel_n * dz
-    tnorm = jnp.sqrt(tx * tx + ty * ty + tz * tz + _EPS)
-    max_slide = jnp.maximum(friction * overlap, 0.0)
-    fscale = jnp.minimum(1.0, max_slide / (tnorm + _EPS)) * share * cf
-
-    ddx = jnp.sum(dx * mag - tx * fscale, axis=1)  # (TILE,)
-    ddy = jnp.sum(dy * mag - ty * fscale, axis=1)
-    ddz = jnp.sum(dz * mag - tz * fscale, axis=1)
-    cnt = jnp.sum(cf, axis=1)
-    block = jnp.stack([ddx, ddy, ddz, cnt] + [jnp.zeros_like(cnt)] * 4, axis=1)
+    acc = _pair_block(rows_ref[:], cols_ref[:], i * TILE, j * TILE_J,
+                      rest_dist, friction, filter_dist)
+    block = jnp.concatenate([acc, jnp.zeros((TILE, 4), jnp.float32)], axis=1)
 
     @pl.when(j == 0)
     def _():
@@ -127,6 +76,162 @@ def _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos, n_pad)
     cols = cols.at[9:12, :n].set(rest_pos.T)
     cols = cols.at[12, :n].set(active.astype(jnp.float32))
     return cols
+
+
+def _pair_block(r, c, i_row0, j_col0, rest_dist, friction, filter_dist):
+    """Contact corrections of one (TILE, TJ) particle-pair block.
+
+    r: (TILE, 16) row attrs, c: (16, TJ) col attrs; i_row0/j_col0 absolute
+    particle offsets of the block. Returns (TILE, 4) [delta_xyz, count]."""
+    xi, yi, zi = r[:, 0:1], r[:, 1:2], r[:, 2:3]
+    xj, yj, zj = c[0:1, :], c[1:2, :], c[2:3, :]
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    d2 = dx * dx + dy * dy + dz * dz
+    dist = jnp.sqrt(d2 + _EPS)
+    inv_dist = 1.0 / dist
+    overlap = rest_dist - dist
+
+    gi, gj = r[:, 6:7], c[6:7, :]
+    sci, scj = r[:, 8:9], c[8:9, :]
+    wi, wj = r[:, 7:8], c[7:8, :]
+    ai, aj = r[:, 12:13], c[12:13, :]
+    same_group = jnp.abs(gi - gj) < 0.5
+    collide = (~same_group) | ((sci > 0.5) & (scj > 0.5))
+    rdx = r[:, 9:10] - c[9:10, :]
+    rdy = r[:, 10:11] - c[10:11, :]
+    rdz = r[:, 11:12] - c[11:12, :]
+    rest_d2 = rdx * rdx + rdy * rdy + rdz * rdz
+    collide = collide & ~(same_group & (rest_d2 < filter_dist * filter_dist))
+
+    tile, tj = r.shape[0], c.shape[1]
+    row_ids = i_row0 + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    col_ids = j_col0 + jax.lax.broadcasted_iota(jnp.int32, (1, tj), 1)
+    not_self = row_ids != col_ids
+
+    wsum = wi + wj
+    contact = ((overlap > 0.0) & collide & not_self & (wsum > 0.0)
+               & (ai > 0.5) & (aj > 0.5))
+    share = wi / (wsum + _EPS)
+    cf = jnp.where(contact, 1.0, 0.0)
+    mag = share * overlap * inv_dist * cf
+
+    mx = (xi - r[:, 3:4]) - (xj - c[3:4, :])
+    my = (yi - r[:, 4:5]) - (yj - c[4:5, :])
+    mz = (zi - r[:, 5:6]) - (zj - c[5:6, :])
+    rel_n = (mx * dx + my * dy + mz * dz) * inv_dist * inv_dist
+    tx = mx - rel_n * dx
+    ty = my - rel_n * dy
+    tz = mz - rel_n * dz
+    tnorm = jnp.sqrt(tx * tx + ty * ty + tz * tz + _EPS)
+    max_slide = jnp.maximum(friction * overlap, 0.0)
+    fscale = jnp.minimum(1.0, max_slide / (tnorm + _EPS)) * share * cf
+
+    ddx = jnp.sum(dx * mag - tx * fscale, axis=1)
+    ddy = jnp.sum(dy * mag - ty * fscale, axis=1)
+    ddz = jnp.sum(dz * mag - tz * fscale, axis=1)
+    cnt = jnp.sum(cf, axis=1)
+    return jnp.stack([ddx, ddy, ddz, cnt], axis=1)  # (TILE, 4)
+
+
+def _block_sparse_kernel(scal_ref, cnt_ref, idx_ref, rows_ref, cols_ref, out_ref):
+    """One row tile i: loop only its AABB-overlapping col blocks.
+
+    scal_ref: (1, 4) SMEM [rest_dist, friction, filter_dist, n]
+    cnt_ref:  (nb, 1) SMEM whole array — overlapping col-block counts
+    idx_ref:  (nb, MAXB) SMEM whole array int32 — their block indices
+    rows_ref: (TILE, 16) row-particle attributes
+    cols_ref: (16, N_pad) the FULL lane-major attribute array (resident VMEM)
+    out_ref:  (TILE, 8) [delta_xyz, count, 0...]
+    """
+    i = pl.program_id(0)
+    rest_dist = scal_ref[0, 0]
+    friction = scal_ref[0, 1]
+    filter_dist = scal_ref[0, 2]
+    r = rows_ref[:]
+    i_row0 = i * TILE
+
+    def body(k, acc):
+        j = idx_ref[i, k]
+        c = cols_ref[:, pl.ds(pl.multiple_of(j * TILE, TILE), TILE)]
+        return acc + _pair_block(r, c, i_row0, j * TILE, rest_dist, friction,
+                                 filter_dist)
+
+    acc = jax.lax.fori_loop(0, cnt_ref[i, 0],
+                            body, jnp.zeros((TILE, 4), jnp.float32))
+    out_ref[:] = jnp.concatenate([acc, jnp.zeros((TILE, 4), jnp.float32)], axis=1)
+
+
+def tile_overlap_blocks(pos, active, inflate, tile: int = TILE,
+                        max_blocks: int | None = None):
+    """Per-row-tile lists of col tiles whose inflated AABBs intersect.
+
+    The solver's contact sweep only needs particle pairs closer than the
+    search radius; with spatially coherent particle ordering (scene builders
+    emit chains/grids; see morton_order for arbitrary clouds) most tile
+    pairs are provably far apart and their O(TILE^2) pair math is skipped.
+
+    Returns (block_idx (nb, MAXB) int32, block_cnt (nb,) int32,
+             overflow int32 — number of overlapping blocks dropped by the
+             MAXB cap; keep 0 by sizing max_blocks).
+    """
+    n = pos.shape[0]
+    nb = n // tile
+    big = jnp.float32(3e37)
+    p = jnp.where(active[:, None], pos, big)  # inactive never overlap
+    pt = p.reshape(nb, tile, 3)
+    lo = jnp.min(pt, axis=1)
+    hi = jnp.max(jnp.where(active[:, None], pos, -big).reshape(nb, tile, 3), axis=1)
+    # intersect test with symmetric inflation
+    sep = (lo[:, None, :] > hi[None, :, :] + inflate) | \
+          (lo[None, :, :] > hi[:, None, :] + inflate)
+    overlap = ~jnp.any(sep, axis=-1)  # (nb, nb) bool
+    maxb = max_blocks or min(nb, 128)
+    # overlapping blocks first (scores 1), stable padding with zeros after
+    score = overlap.astype(jnp.float32)
+    _, idx = jax.lax.top_k(score, maxb)
+    cnt = jnp.minimum(jnp.sum(overlap, axis=1), maxb).astype(jnp.int32)
+    overflow = jnp.sum(jnp.maximum(jnp.sum(overlap, axis=1) - maxb, 0))
+    return idx.astype(jnp.int32), cnt, overflow.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def block_sparse_contact_deltas(pos, pos_prev, group, inv_mass, self_collide,
+                                active, rest_pos, rest_dist, particle_friction,
+                                filter_dist, block_idx, block_cnt,
+                                interpret: bool = False):
+    """All-pairs contact corrections restricted to AABB-overlapping tile
+    blocks (the scalable O(N·K_blocks) path; same contract as
+    dense_contact_deltas). block_idx/block_cnt come from
+    tile_overlap_blocks, computed once per frame."""
+    n = pos.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    cols = _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos,
+                 n_pad)
+    rows = cols.T
+    scal = jnp.array([[rest_dist, particle_friction, filter_dist, float(n)]],
+                     dtype=jnp.float32)
+    nb = n_pad // TILE
+    maxb = block_idx.shape[1]
+    cnt2d = block_cnt.reshape(nb, 1).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        _block_sparse_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        interpret=interpret,
+    )(scal, cnt2d, block_idx, rows, cols)
+    return out[:n, :3], out[:n, 3]
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -30,9 +30,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from adaptigraph_tpu.engine.neighbors import neighbor_list, neighbor_list_tiled
+from adaptigraph_tpu.engine.cells import cell_list_neighbors
+from adaptigraph_tpu.engine.neighbors import neighbor_list
 from adaptigraph_tpu.engine.pallas_kernels import (
-    DENSE_CONTACT_MAX_N, dense_contact_deltas)
+    DENSE_CONTACT_MAX_N, block_sparse_contact_deltas, dense_contact_deltas,
+    tile_overlap_blocks)
 from adaptigraph_tpu.engine.collisions import shape_contact_deltas
 from adaptigraph_tpu.engine.state import (
     ParticleState,
@@ -43,6 +45,15 @@ from adaptigraph_tpu.engine.state import (
 from adaptigraph_tpu.utils import geometry as geo
 
 _EPS = 1e-9
+_TILE = 128
+
+
+def _pad_tile(x):
+    return jnp.pad(x, ((0, (-x.shape[0]) % _TILE),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _pad_tile_mask(m):
+    return jnp.pad(m, (0, (-m.shape[0]) % _TILE))
 
 
 def _spring_deltas(pos, inv_mass, springs):
@@ -189,8 +200,8 @@ def _nlerp(q0, q1, t):
 
 def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
              shapes: ShapeSet, s_pos, s_quat, s_vel, nbr_idx, eligible, share,
-             dt, iterations: int, dense: bool = False, interpret: bool = False,
-             cluster_rest=None):
+             dt, iterations: int, mode: str = "sparse", interpret: bool = False,
+             cluster_rest=None, blocks=None):
     p = particles
     prm = spec.params
     movable = (p.inv_mass > 0) & p.active
@@ -210,16 +221,24 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     vel = vel * mov
     pos_prev = p.pos
     pos = pos_prev + vel * dt
-    pj_prev = None if dense else pos_prev[nbr_idx]  # static across iterations
+    pj_prev = pos_prev[nbr_idx] if mode == "sparse" else None
 
     def iter_body(_, carry):
         pos, cl_rot, gl_rot = carry
-        if dense:
+        if mode == "dense":
             # all-pairs Pallas tile sweep: no neighbor list, no gathers
             delta_c, cnt = dense_contact_deltas(
                 pos, pos_prev, p.group, p.inv_mass, p.self_collide, p.active,
                 spec.rest_pos, prm.solid_rest_distance, prm.particle_friction,
                 prm.collide_filter_dist, interpret=interpret)
+        elif mode == "block":
+            # AABB-culled Pallas tile sweep: only spatially-near blocks pay
+            block_idx, block_cnt = blocks
+            delta_c, cnt = block_sparse_contact_deltas(
+                pos, pos_prev, p.group, p.inv_mass, p.self_collide, p.active,
+                spec.rest_pos, prm.solid_rest_distance, prm.particle_friction,
+                prm.collide_filter_dist, block_idx, block_cnt,
+                interpret=interpret)
         else:
             delta_c, cnt = _particle_contact_deltas(
                 pos, pos_prev, nbr_idx, eligible, share,
@@ -267,12 +286,19 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
 
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
-                                   "dense_contacts"))
+                                   "dense_contacts", "contact_mode"))
 def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int,
-              neighbor_k: int = 24, dense_contacts: bool | None = None) -> SceneState:
+              neighbor_k: int = 24, dense_contacts: bool | None = None,
+              contact_mode: str | None = None) -> SceneState:
     """One outer sim frame (dt = params.dt), matching pyflex.step semantics:
     kinematic shapes move from their prev pose to their current pose across
     the substeps; particles respond.
+
+    contact_mode: 'dense' (all-pairs Pallas sweep), 'block' (AABB-culled
+    Pallas tile sweep — the scalable default; relies on spatially coherent
+    particle order, which scene builders produce), or 'sparse' (fixed-K
+    neighbor-list gathers — the CPU-friendly fallback). None = auto.
+    `dense_contacts` is the legacy boolean form of the same switch.
 
     Callers update shape targets via `state.shapes.moved_to(pos, quat)`
     before stepping (the analogue of pyflex.set_shape_states,
@@ -284,17 +310,27 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
 
     p0 = state.particles
     n = p0.pos.shape[0]
-    if dense_contacts is None:
-        # the Pallas all-pairs sweep wins until O(N^2) overtakes the sparse
-        # path; interpret mode keeps CPU tests runnable
-        dense_contacts = n <= DENSE_CONTACT_MAX_N
+    if contact_mode is None:
+        if dense_contacts is True:
+            contact_mode = "dense"
+        elif dense_contacts is False:
+            contact_mode = "sparse"
+        else:
+            # small scenes: the plain dense sweep has no culling overhead;
+            # at scale the AABB-culled block sweep skips far tile pairs
+            contact_mode = "dense" if n <= 2048 else "block"
     interpret = jax.default_backend() == "cpu"
-    if dense_contacts:
-        nbr_idx = eligible = share = None
-    else:
-        # neighbor find ONCE per outer frame, like NvFlexUpdateSolver: the
-        # enlarged search radius covers a frame of drift; substeps reuse it
-        nfind = neighbor_list if n <= 1024 else neighbor_list_tiled
+    nbr_idx = eligible = share = blocks = None
+    if contact_mode == "block":
+        # block structure ONCE per outer frame (like the NvFlex hash grid):
+        # inflation radius*1.5 covers a frame of particle drift
+        block_idx, block_cnt, _ = tile_overlap_blocks(
+            _pad_tile(p0.pos), _pad_tile_mask(p0.active), prm.radius * 1.5)
+        blocks = (block_idx, block_cnt)
+    elif contact_mode == "sparse":
+        # neighbor find ONCE per outer frame: dense masked top-k for tiny
+        # scenes, hashed cell list at scale
+        nfind = neighbor_list if n <= 1024 else cell_list_neighbors
         nbr_idx, nbr_valid = nfind(p0.pos, prm.radius * 1.5, p0.active, k=neighbor_k)
         eligible, share = precompute_contact_static(
             p0.inv_mass, p0.group, p0.self_collide, p0.active, nbr_idx, nbr_valid,
@@ -309,8 +345,8 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
         particles, cl_rot, gl_rot, cl_rest = _substep(
             particles, cl_rot, gl_rot, spec, shapes, s_pos, s_quat, s_vel,
             nbr_idx, eligible, share, dt_sub, iterations,
-            dense=dense_contacts, interpret=interpret,
-            cluster_rest=cl_rest)
+            mode=contact_mode, interpret=interpret,
+            cluster_rest=cl_rest, blocks=blocks)
         return (particles, cl_rot, gl_rot, cl_rest), None
 
     (particles, cl_rot, gl_rot, cl_rest), _ = jax.lax.scan(

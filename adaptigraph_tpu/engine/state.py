@@ -26,6 +26,7 @@ import numpy as np
 SHAPE_BOX = 0
 SHAPE_CAPSULE = 1
 SHAPE_PLANE = 2  # infinite plane with normal +y at pos.y (floor)
+SHAPE_CONVEX = 3  # convex polytope: intersection of local halfspaces
 
 
 class ParticleState(NamedTuple):
@@ -62,17 +63,21 @@ class ClusterSet(NamedTuple):
 
 
 class ShapeSet(NamedTuple):
-    """Kinematic collision shapes (table boxes, robot tool) — the engine-side
-    mirror of pyflex shape states (14-dim: pos, prev_pos, quat, prev_quat;
-    pyflex.cpp:3154-3237)."""
+    """Kinematic collision shapes (table boxes, robot tool + arm links) — the
+    engine-side mirror of pyflex shape states (14-dim: pos, prev_pos, quat,
+    prev_quat; pyflex.cpp:3154-3237). CONVEX shapes (the analogue of
+    pyflex_add_mesh's triangle-mesh shapes, pyflex.cpp:2828, here as the
+    mesh's convex hull) carry `planes`: local halfspaces n·x <= d, rows
+    (nx, ny, nz, d), zero-normal rows = padding."""
 
-    kind: jnp.ndarray  # (M,) int32 in {BOX, CAPSULE, PLANE}
+    kind: jnp.ndarray  # (M,) int32 in {BOX, CAPSULE, PLANE, CONVEX}
     size: jnp.ndarray  # (M, 3) box half-edges / capsule (radius, half_len, _)
     pos: jnp.ndarray  # (M, 3)
     quat: jnp.ndarray  # (M, 4) xyzw
     prev_pos: jnp.ndarray  # (M, 3)
     prev_quat: jnp.ndarray  # (M, 4)
     valid: jnp.ndarray  # (M,) bool
+    planes: jnp.ndarray  # (M, P, 4) convex-hull halfspaces (P may be 0)
 
     def moved_to(self, pos, quat) -> "ShapeSet":
         """New pose; the old current pose becomes prev (one sim frame)."""
@@ -237,13 +242,25 @@ def make_clusters(members: list, positions, stiffness, c_max=None, k_max=None) -
     )
 
 
-def make_shapes(kinds, sizes, poses, quats, m_max=None) -> ShapeSet:
+def make_shapes(kinds, sizes, poses, quats, m_max=None, planes=None,
+                p_max=0) -> ShapeSet:
+    """planes: optional list (len m) of (p_i, 4) arrays of local halfspaces
+    for CONVEX shapes (None entries allowed); padded to (m_max, p_max, 4).
+    A zero p_max means "this scene has no convex shapes" and the convex
+    branch of the contact pass compiles away."""
     kinds = np.asarray(kinds, dtype=np.int32).reshape(-1)
     m = kinds.shape[0]
     m_max = m_max or m
     sizes = np.asarray(sizes, dtype=np.float32).reshape(m, 3)
     poses = np.asarray(poses, dtype=np.float32).reshape(m, 3)
     quats = np.asarray(quats, dtype=np.float32).reshape(m, 4)
+    if planes is not None:
+        p_max = max(p_max, max((0 if p is None else len(p)) for p in planes))
+    planes_p = np.zeros((m_max, p_max, 4), dtype=np.float32)
+    if planes is not None:
+        for i, p in enumerate(planes):
+            if p is not None and len(p):
+                planes_p[i, : len(p)] = np.asarray(p, dtype=np.float32)
 
     def pad(a, fill=0.0):
         out = np.full((m_max,) + a.shape[1:], fill, dtype=a.dtype)
@@ -260,4 +277,5 @@ def make_shapes(kinds, sizes, poses, quats, m_max=None) -> ShapeSet:
         prev_pos=jnp.array(pad(poses)),
         prev_quat=jnp.array(qpad),
         valid=jnp.array(pad(np.ones(m, dtype=bool), fill=False)),
+        planes=jnp.array(planes_p),
     )

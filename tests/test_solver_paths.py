@@ -36,3 +36,64 @@ def test_dense_and_sparse_trajectories_match():
                          neighbor_k=59)  # cap >= all possible neighbors
     np.testing.assert_allclose(np.asarray(st_d.particles.pos),
                                np.asarray(st_s.particles.pos), atol=5e-5)
+
+
+def test_block_and_dense_trajectories_match():
+    """The AABB-culled block sweep must reproduce the all-pairs sweep —
+    culled blocks contain no interacting pairs by construction. Tolerance
+    covers f32 accumulation-order differences (512- vs 128-wide col blocks)
+    amplified over 15 frames."""
+    st_d, spec = _scene(n=200, seed=3)
+    st_b = st_d
+    for _ in range(15):
+        st_d = xpbd_step(st_d, spec, substeps=2, iterations=4,
+                         contact_mode="dense")
+        st_b = xpbd_step(st_b, spec, substeps=2, iterations=4,
+                         contact_mode="block")
+    np.testing.assert_allclose(np.asarray(st_d.particles.pos),
+                               np.asarray(st_b.particles.pos), atol=5e-4)
+
+
+def test_block_kernel_matches_dense_kernel_single_call():
+    """Direct kernel-vs-kernel check at tight tolerance on one call."""
+    import jax.numpy as jnp2
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        block_sparse_contact_deltas, dense_contact_deltas, tile_overlap_blocks)
+
+    rng = np.random.RandomState(11)
+    n = 384
+    pos = jnp2.asarray(rng.rand(n, 3).astype(np.float32) * 0.8)
+    pos_prev = pos + jnp2.asarray(rng.randn(n, 3).astype(np.float32) * 0.005)
+    group = jnp2.asarray(np.arange(n, dtype=np.int32) % 40)
+    inv_mass = jnp2.ones((n,))
+    sc = jnp2.zeros((n,), bool)
+    active = jnp2.asarray(np.arange(n) % 7 != 0)
+    rest_pos = jnp2.zeros((n, 3))
+    args = (pos, pos_prev, group, inv_mass, sc, active, rest_pos,
+            0.08, 0.25, 0.0)
+    d_d, c_d = dense_contact_deltas(*args, interpret=True)
+    bidx, bcnt, ovf = tile_overlap_blocks(pos, active, 0.08 * 1.5)
+    d_b, c_b = block_sparse_contact_deltas(*args, bidx, bcnt, interpret=True)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(c_d), np.asarray(c_b), atol=0)
+    np.testing.assert_allclose(np.asarray(d_d), np.asarray(d_b), atol=1e-6)
+
+
+def test_block_sweep_multi_tile_spread_scene():
+    """Several 128-particle tiles spread far apart: culling must skip the
+    far pairs yet keep intra-tile contacts identical to dense."""
+    st_d, spec = _scene(n=600, seed=5)
+    # spread clumps: shift each third of the particles far apart in x
+    pos = np.array(st_d.particles.pos)
+    pos[200:400, 0] += 50.0
+    pos[400:, 0] += 100.0
+    import jax.numpy as jnp2
+    st_d = st_d._replace(particles=st_d.particles._replace(pos=jnp2.asarray(pos)))
+    st_b = st_d
+    for _ in range(10):
+        st_d = xpbd_step(st_d, spec, substeps=2, iterations=4,
+                         contact_mode="dense")
+        st_b = xpbd_step(st_b, spec, substeps=2, iterations=4,
+                         contact_mode="block")
+    np.testing.assert_allclose(np.asarray(st_d.particles.pos),
+                               np.asarray(st_b.particles.pos), atol=1e-5)
