@@ -89,8 +89,10 @@ def _pair_block(r, c, i_row0, j_col0, rest_dist, friction, filter_dist):
     dy = yi - yj
     dz = zi - zj
     d2 = dx * dx + dy * dy + dz * dz
-    dist = jnp.sqrt(d2 + _EPS)
-    inv_dist = 1.0 / dist
+    # rsqrt-only distance math: sqrt+div chains run at a fraction of VPU
+    # rate and dominated the pair cost
+    inv_dist = jax.lax.rsqrt(d2 + _EPS)
+    dist = d2 * inv_dist
     overlap = rest_dist - dist
 
     gi, gj = r[:, 6:7], c[6:7, :]
@@ -120,13 +122,13 @@ def _pair_block(r, c, i_row0, j_col0, rest_dist, friction, filter_dist):
     mx = (xi - r[:, 3:4]) - (xj - c[3:4, :])
     my = (yi - r[:, 4:5]) - (yj - c[4:5, :])
     mz = (zi - r[:, 5:6]) - (zj - c[5:6, :])
-    rel_n = (mx * dx + my * dy + mz * dz) * inv_dist * inv_dist
+    rel_n = (mx * dx + my * dy + mz * dz) * (inv_dist * inv_dist)
     tx = mx - rel_n * dx
     ty = my - rel_n * dy
     tz = mz - rel_n * dz
-    tnorm = jnp.sqrt(tx * tx + ty * ty + tz * tz + _EPS)
+    inv_tnorm = jax.lax.rsqrt(tx * tx + ty * ty + tz * tz + _EPS)
     max_slide = jnp.maximum(friction * overlap, 0.0)
-    fscale = jnp.minimum(1.0, max_slide / (tnorm + _EPS)) * share * cf
+    fscale = jnp.minimum(1.0, max_slide * inv_tnorm) * share * cf
 
     ddx = jnp.sum(dx * mag - tx * fscale, axis=1)
     ddy = jnp.sum(dy * mag - ty * fscale, axis=1)
@@ -135,32 +137,36 @@ def _pair_block(r, c, i_row0, j_col0, rest_dist, friction, filter_dist):
     return jnp.stack([ddx, ddy, ddz, cnt], axis=1)  # (TILE, 4)
 
 
-def _block_sparse_kernel(scal_ref, cnt_ref, idx_ref, rows_ref, cols_ref, out_ref):
-    """One row tile i: loop only its AABB-overlapping col blocks.
+def _make_block_sparse_kernel(tile: int):
+    def kernel(scal_ref, cnt_ref, idx_ref, rows_ref, cols_ref, out_ref):
+        """One row tile i: loop only its AABB-overlapping col blocks.
 
-    scal_ref: (1, 4) SMEM [rest_dist, friction, filter_dist, n]
-    cnt_ref:  (nb, 1) SMEM whole array — overlapping col-block counts
-    idx_ref:  (nb, MAXB) SMEM whole array int32 — their block indices
-    rows_ref: (TILE, 16) row-particle attributes
-    cols_ref: (16, N_pad) the FULL lane-major attribute array (resident VMEM)
-    out_ref:  (TILE, 8) [delta_xyz, count, 0...]
-    """
-    i = pl.program_id(0)
-    rest_dist = scal_ref[0, 0]
-    friction = scal_ref[0, 1]
-    filter_dist = scal_ref[0, 2]
-    r = rows_ref[:]
-    i_row0 = i * TILE
+        scal_ref: (1, 4) SMEM [rest_dist, friction, filter_dist, n]
+        cnt_ref:  (nb, 1) SMEM whole array — overlapping col-block counts
+        idx_ref:  (nb, MAXB) SMEM whole array int32 — their block indices
+        rows_ref: (tile, 16) row-particle attributes
+        cols_ref: (16, N_pad) the FULL lane-major attribute array (VMEM)
+        out_ref:  (tile, 8) [delta_xyz, count, 0...]
+        """
+        i = pl.program_id(0)
+        rest_dist = scal_ref[0, 0]
+        friction = scal_ref[0, 1]
+        filter_dist = scal_ref[0, 2]
+        r = rows_ref[:]
+        i_row0 = i * tile
 
-    def body(k, acc):
-        j = idx_ref[i, k]
-        c = cols_ref[:, pl.ds(pl.multiple_of(j * TILE, TILE), TILE)]
-        return acc + _pair_block(r, c, i_row0, j * TILE, rest_dist, friction,
-                                 filter_dist)
+        def body(k, acc):
+            j = idx_ref[i, k]
+            c = cols_ref[:, pl.ds(pl.multiple_of(j * tile, tile), tile)]
+            return acc + _pair_block(r, c, i_row0, j * tile, rest_dist,
+                                     friction, filter_dist)
 
-    acc = jax.lax.fori_loop(0, cnt_ref[i, 0],
-                            body, jnp.zeros((TILE, 4), jnp.float32))
-    out_ref[:] = jnp.concatenate([acc, jnp.zeros((TILE, 4), jnp.float32)], axis=1)
+        acc = jax.lax.fori_loop(0, cnt_ref[i, 0],
+                                body, jnp.zeros((tile, 4), jnp.float32))
+        out_ref[:] = jnp.concatenate([acc, jnp.zeros((tile, 4), jnp.float32)],
+                                     axis=1)
+
+    return kernel
 
 
 def tile_overlap_blocks(pos, active, inflate, tile: int = TILE,
@@ -196,37 +202,36 @@ def tile_overlap_blocks(pos, active, inflate, tile: int = TILE,
     return idx.astype(jnp.int32), cnt, overflow.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "tile"))
 def block_sparse_contact_deltas(pos, pos_prev, group, inv_mass, self_collide,
                                 active, rest_pos, rest_dist, particle_friction,
                                 filter_dist, block_idx, block_cnt,
-                                interpret: bool = False):
+                                interpret: bool = False, tile: int = TILE):
     """All-pairs contact corrections restricted to AABB-overlapping tile
     blocks (the scalable O(N·K_blocks) path; same contract as
     dense_contact_deltas). block_idx/block_cnt come from
-    tile_overlap_blocks, computed once per frame."""
+    tile_overlap_blocks(tile=same tile), computed once per frame."""
     n = pos.shape[0]
-    n_pad = -(-n // TILE) * TILE
+    n_pad = -(-n // tile) * tile
     cols = _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos,
                  n_pad)
     rows = cols.T
     scal = jnp.array([[rest_dist, particle_friction, filter_dist, float(n)]],
                      dtype=jnp.float32)
-    nb = n_pad // TILE
-    maxb = block_idx.shape[1]
+    nb = n_pad // tile
     cnt2d = block_cnt.reshape(nb, 1).astype(jnp.int32)
 
     out = pl.pallas_call(
-        _block_sparse_kernel,
+        _make_block_sparse_kernel(tile),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
         interpret=interpret,

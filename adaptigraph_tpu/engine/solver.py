@@ -80,6 +80,57 @@ def _spring_deltas(pos, inv_mass, springs):
     return delta, cnt
 
 
+def _spring_deltas_gather(pos, inv_mass, springs, inc):
+    """Distance-constraint corrections via the precomputed incidence table
+    (state.SpringIncidence): per-spring corrections are gathered back to
+    endpoints instead of scatter-added — scatters are the slowest op in the
+    TPU solver loop (~60% of a 5k rope frame measured)."""
+    i, j = springs.idx[:, 0], springs.idx[:, 1]
+    d = pos[i] - pos[j]
+    length = jnp.linalg.norm(d, axis=-1)
+    direction = d / (length[:, None] + _EPS)
+    c = length - springs.rest
+    wi, wj = inv_mass[i], inv_mass[j]
+    wsum = wi + wj
+    ok = springs.valid & (wsum > 0)
+    corr = -(springs.stiffness * c / (wsum + _EPS))[:, None] * direction
+    corr = jnp.where(ok[:, None], corr, 0.0)
+    g = corr[inc.idx]  # (N, D, 3) — the only non-endpoint gather
+    delta = jnp.sum(g * inc.sign[..., None], axis=1) * inv_mass[:, None]
+    okg = ok[inc.idx] & (inc.sign != 0)
+    cnt = jnp.sum(okg, axis=1).astype(pos.dtype)
+    return delta, cnt
+
+
+def _spring_deltas_offset(pos, inv_mass, os):
+    """Distance constraints for static-offset spring families
+    (state.OffsetSprings): endpoint reads are slices and the reduction is a
+    slice-add — zero gathers/scatters, pure VPU."""
+    n = pos.shape[0]
+    delta = jnp.zeros_like(pos)
+    cnt = jnp.zeros((n,), dtype=pos.dtype)
+    for f, o in enumerate(os.offsets):
+        pi = pos[: n - o]
+        pj = pos[o:]
+        d = pi - pj
+        d2 = jnp.sum(d * d, axis=-1)
+        inv_len = jax.lax.rsqrt(d2 + _EPS)
+        length = d2 * inv_len
+        c = length - os.rest[f, : n - o]
+        wi = inv_mass[: n - o]
+        wj = inv_mass[o:]
+        wsum = wi + wj
+        ok = os.valid[f, : n - o] & (wsum > 0)
+        okf = ok.astype(pos.dtype)
+        mag = -(os.stiffness[f, : n - o] * c / (wsum + _EPS)) * inv_len * okf
+        corr = mag[:, None] * d
+        delta = delta.at[: n - o].add(wi[:, None] * corr)
+        delta = delta.at[o:].add(-wj[:, None] * corr)
+        cnt = cnt.at[: n - o].add(okf)
+        cnt = cnt.at[o:].add(okf)
+    return delta, cnt
+
+
 def precompute_contact_static(inv_mass, group, self_collide, active, nbr_idx, nbr_valid,
                               rest_pos=None, filter_dist=0.0):
     """Per-frame invariants of the particle-contact pass: pair eligibility
@@ -127,10 +178,13 @@ def _particle_contact_deltas(pos, pos_prev, nbr_idx, eligible, share,
     return jnp.sum(delta, axis=1), jnp.sum(contact.astype(pos.dtype), axis=1)
 
 
-def _cluster_deltas(pos, clusters, cluster_rot, rest=None):
+def _cluster_deltas(pos, clusters, cluster_rot, rest=None, inc=None):
     """Shape-matching corrections (NvFlex rigids / soft clusters,
     flexExtSoft.cpp:551). `rest` overrides clusters.rest when plasticity has
-    reshaped the rest configuration. Returns (delta, count, new_rotations)."""
+    reshaped the rest configuration. `inc` (state.ClusterIncidence) switches
+    the endpoint reduction from scatter-add to a pure gather (TPU scatters
+    dominate the solver loop otherwise). Returns (delta, count,
+    new_rotations)."""
     member = clusters.member  # (C, K)
     mvalid = clusters.member_valid
     if rest is None:
@@ -149,9 +203,18 @@ def _cluster_deltas(pos, clusters, cluster_rot, rest=None):
     ok = mvalid & clusters.valid[:, None]
     corr = jnp.where(ok[..., None], corr, 0.0)
     n = pos.shape[0]
-    delta = jnp.zeros((n, 3), dtype=pos.dtype).at[member.reshape(-1)].add(corr.reshape(-1, 3))
-    cnt = jnp.zeros((n,), dtype=pos.dtype).at[member.reshape(-1)].add(
-        ok.astype(pos.dtype).reshape(-1))
+    if inc is not None:
+        cflat = corr.reshape(-1, 3)
+        okflat = ok.reshape(-1)
+        g = cflat[inc.idx]  # (N, D, 3)
+        gv = (okflat[inc.idx] & inc.valid).astype(pos.dtype)
+        delta = jnp.sum(g * gv[..., None], axis=1)
+        cnt = jnp.sum(gv, axis=1)
+    else:
+        delta = jnp.zeros((n, 3), dtype=pos.dtype).at[member.reshape(-1)].add(
+            corr.reshape(-1, 3))
+        cnt = jnp.zeros((n,), dtype=pos.dtype).at[member.reshape(-1)].add(
+            ok.astype(pos.dtype).reshape(-1))
     return delta, cnt, q_new
 
 
@@ -209,6 +272,8 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     # static structure flags: zero-capacity spring/cluster sets are the
     # builders' "none" encoding — those passes compile away entirely
     has_springs = spec.springs.idx.shape[0] > 0
+    has_offset_springs = (spec.offset_springs is not None
+                          and len(spec.offset_springs.offsets) > 0)
     has_clusters = spec.clusters.member.shape[0] > 0 and spec.clusters.member.shape[1] > 0
     # zero-row global_rest = "no global cluster": the whole pass (einsum +
     # iterative polar decomposition) compiles away for granular/cloth scenes
@@ -249,13 +314,23 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
             prm.collision_distance, prm.shape_collision_margin, prm.dynamic_friction, dt)
         delta = delta + delta_k
         cnt = cnt + cnt_k
+        if has_offset_springs:
+            delta_o, cnt_o = _spring_deltas_offset(pos, p.inv_mass,
+                                                   spec.offset_springs)
+            delta = delta + delta_o
+            cnt = cnt + cnt_o
         if has_springs:
-            delta_s, cnt_s = _spring_deltas(pos, p.inv_mass, spec.springs)
+            if spec.spring_inc is not None:
+                delta_s, cnt_s = _spring_deltas_gather(
+                    pos, p.inv_mass, spec.springs, spec.spring_inc)
+            else:
+                delta_s, cnt_s = _spring_deltas(pos, p.inv_mass, spec.springs)
             delta = delta + delta_s
             cnt = cnt + cnt_s
         if has_clusters:
             delta_m, cnt_m, cl_rot = _cluster_deltas(pos, spec.clusters, cl_rot,
-                                                     rest=cluster_rest)
+                                                     rest=cluster_rest,
+                                                     inc=spec.cluster_inc)
             delta = delta + delta_m
             cnt = cnt + cnt_m
         if has_global:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +50,177 @@ class SpringSet(NamedTuple):
     rest: jnp.ndarray  # (S,) f32 rest length
     stiffness: jnp.ndarray  # (S,) f32 in [0, 1]
     valid: jnp.ndarray  # (S,) bool
+
+
+class SpringIncidence(NamedTuple):
+    """Transposed spring topology: per-particle incident-spring lists.
+
+    TPU scatter-adds are the slowest op in the solver loop (the per-endpoint
+    `.at[idx].add` in the spring pass measured ~60% of a 5k-particle rope
+    frame); with a fixed-degree incidence table the same reduction becomes a
+    pure gather: delta[n] = inv_mass[n] * sum_d sign[n,d] * corr[idx[n,d]].
+    Build once on host via `build_spring_incidence` (the NvFlex solver does
+    the equivalent restructuring when springs are uploaded via
+    NvFlexSetSprings)."""
+
+    idx: jnp.ndarray  # (N, D) int32 incident spring ids (0-padded)
+    sign: jnp.ndarray  # (N, D) f32: +1 endpoint i, -1 endpoint j, 0 pad
+
+
+def build_spring_incidence(springs: SpringSet, n: int,
+                           d_max: int | None = None) -> SpringIncidence:
+    """Host-side (numpy) transpose of the spring index list.
+
+    Args: springs (possibly padded), n = particle capacity. d_max overrides
+    the table width (default = max incident degree over particles)."""
+    idx = np.asarray(springs.idx).reshape(-1, 2)
+    valid = np.asarray(springs.valid).reshape(-1)
+    s = idx.shape[0]
+    sid = np.concatenate([np.arange(s), np.arange(s)])
+    ends = np.concatenate([idx[:, 0], idx[:, 1]])
+    sign = np.concatenate([np.ones(s, np.float32), -np.ones(s, np.float32)])
+    keep = np.concatenate([valid, valid])
+    sid, ends, sign = sid[keep], ends[keep], sign[keep]
+    deg = np.bincount(ends, minlength=n) if len(ends) else np.zeros(n, np.int64)
+    d = int(d_max if d_max is not None else max(int(deg.max(initial=0)), 1))
+    inc_idx = np.zeros((n, d), dtype=np.int32)
+    inc_sign = np.zeros((n, d), dtype=np.float32)
+    order = np.argsort(ends, kind="stable")
+    ends_s = ends[order]
+    first = np.searchsorted(ends_s, ends_s, side="left")
+    rank = np.arange(len(ends_s)) - first
+    ok = rank < d
+    inc_idx[ends_s[ok], rank[ok]] = sid[order][ok]
+    inc_sign[ends_s[ok], rank[ok]] = sign[order][ok]
+    dropped = int((~ok).sum())
+    assert dropped == 0 or d_max is not None, "incidence overflow"
+    return SpringIncidence(idx=jnp.array(inc_idx), sign=jnp.array(inc_sign))
+
+
+@jax.tree_util.register_pytree_node_class
+class OffsetSprings:
+    """Spring families at STATIC index offsets — the truly TPU-native form
+    of every spring topology the reference builds: the cloth grid's
+    stretch/bend/shear springs (CreateSpringGrid, helpers.h:1246) are six
+    fixed-stride families, a chain is one. Family f connects particle k to
+    particle k + offsets[f] for all k in [0, N - offsets[f]); per-spring
+    rest/stiffness live at row f, entry k. Because the offsets are static
+    (pytree aux data), endpoint reads compile to SLICES and the endpoint
+    reduction to slice-adds — no gathers, no scatters, which otherwise
+    dominate the TPU solver loop (~40-70 us per 5k gather vs ~0 for a
+    slice). Irregular topologies (mesh soft-body links) keep the
+    SpringSet + SpringIncidence path."""
+
+    def __init__(self, offsets, rest, stiffness, valid):
+        self.offsets = tuple(int(o) for o in offsets)
+        self.rest = rest  # (F, N) f32
+        self.stiffness = stiffness  # (F, N) f32
+        self.valid = valid  # (F, N) bool
+
+    def tree_flatten(self):
+        return (self.rest, self.stiffness, self.valid), self.offsets
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux, *children)
+
+    def __repr__(self):
+        return f"OffsetSprings(offsets={self.offsets})"
+
+
+def make_offset_springs(n: int, families) -> OffsetSprings:
+    """families: list of (offset, rest, stiffness, valid) where rest /
+    stiffness / valid are arrays of length n - offset (or scalars).
+    Host-side numpy; one device put at the end."""
+    f = len(families)
+    rest = np.zeros((f, n), np.float32)
+    stiff = np.zeros((f, n), np.float32)
+    valid = np.zeros((f, n), bool)
+    offsets = []
+    for fi, (o, r, s, v) in enumerate(families):
+        o = int(o)
+        assert 0 < o < n
+        offsets.append(o)
+        rest[fi, : n - o] = np.broadcast_to(np.asarray(r, np.float32), (n - o,))
+        stiff[fi, : n - o] = np.broadcast_to(np.asarray(s, np.float32), (n - o,))
+        valid[fi, : n - o] = np.broadcast_to(np.asarray(v, bool), (n - o,))
+    return OffsetSprings(offsets, jnp.array(rest), jnp.array(stiff),
+                         jnp.array(valid))
+
+
+def springs_to_offset_families(idx, rest, stiffness, n: int,
+                               max_families: int = 12):
+    """Split a spring list into static-offset families + an irregular
+    remainder (host numpy). Returns (OffsetSprings | None, leftover_mask):
+    spring s is a family member when its index offset j - i is shared by
+    many springs and slot (offset, i) is unclaimed; the remainder keeps the
+    SpringSet gather path. Grid/chain topologies convert fully."""
+    idx = np.asarray(idx, np.int64).reshape(-1, 2)
+    rest = np.asarray(rest, np.float32).reshape(-1)
+    stiffness = np.asarray(stiffness, np.float32).reshape(-1)
+    lo = idx.min(axis=1)
+    off = np.abs(idx[:, 1] - idx[:, 0])
+    leftover = np.zeros(len(idx), bool)
+    leftover |= off == 0  # degenerate
+    offs, counts = np.unique(off[~leftover], return_counts=True)
+    order = np.argsort(-counts)
+    families = []
+    for oi in order[:max_families]:
+        o = int(offs[oi])
+        sel = np.nonzero((off == o) & ~leftover)[0]
+        starts = lo[sel]
+        first = np.unique(starts, return_index=True)[1]  # dedupe (o, i) slots
+        take = sel[first]
+        r = np.zeros(n - o, np.float32)
+        s = np.zeros(n - o, np.float32)
+        v = np.zeros(n - o, bool)
+        r[lo[take]] = rest[take]
+        s[lo[take]] = stiffness[take]
+        v[lo[take]] = True
+        families.append((o, r, s, v))
+        claimed = np.zeros(len(idx), bool)
+        claimed[take] = True
+        leftover |= (off == o) & ~claimed
+        off = np.where(claimed, -1, off)  # retire converted springs
+    if not families:
+        return None, np.ones(len(idx), bool)
+    return make_offset_springs(n, families), leftover
+
+
+class ClusterIncidence(NamedTuple):
+    """Per-particle incident (cluster, slot) table — the cluster-pass
+    analogue of SpringIncidence. idx indexes the flattened (C*K,) member
+    axis of ClusterSet corrections; valid marks real entries. Degree = how
+    many clusters overlap a particle (1 for granular rigid granules, a few
+    for the rope's ball cover)."""
+
+    idx: jnp.ndarray  # (N, D) int32 into flattened (C*K,)
+    valid: jnp.ndarray  # (N, D) bool
+
+
+def build_cluster_incidence(clusters: ClusterSet, n: int,
+                            d_max: int | None = None) -> ClusterIncidence:
+    """Host-side transpose of cluster membership (numpy)."""
+    member = np.asarray(clusters.member)
+    mvalid = np.asarray(clusters.member_valid) & np.asarray(clusters.valid)[:, None]
+    c, k = member.shape
+    flat = member.reshape(-1)
+    fvalid = mvalid.reshape(-1)
+    slot = np.arange(c * k)
+    flat, slot = flat[fvalid], slot[fvalid]
+    deg = np.bincount(flat, minlength=n) if len(flat) else np.zeros(n, np.int64)
+    d = int(d_max if d_max is not None else max(int(deg.max(initial=0)), 1))
+    inc_idx = np.zeros((n, d), dtype=np.int32)
+    inc_valid = np.zeros((n, d), dtype=bool)
+    order = np.argsort(flat, kind="stable")
+    fs = flat[order]
+    first = np.searchsorted(fs, fs, side="left")
+    rank = np.arange(len(fs)) - first
+    ok = rank < d
+    inc_idx[fs[ok], rank[ok]] = slot[order][ok]
+    inc_valid[fs[ok], rank[ok]] = True
+    assert ok.all() or d_max is not None, "cluster incidence overflow"
+    return ClusterIncidence(idx=jnp.array(inc_idx), valid=jnp.array(inc_valid))
 
 
 class ClusterSet(NamedTuple):
@@ -131,6 +303,16 @@ class SceneSpec(NamedTuple):
     global_rest: jnp.ndarray
     rest_pos: jnp.ndarray  # (N, 3) rest positions (for the collide filter)
     params: SolverParams
+    # per-particle incident-spring table (build_spring_incidence): when
+    # present the spring pass runs gather-only (no TPU scatter); None falls
+    # back to the scatter-add formulation
+    spring_inc: SpringIncidence | None = None
+    # same for the shape-matching cluster pass (build_cluster_incidence)
+    cluster_inc: ClusterIncidence | None = None
+    # static-offset spring families (make_offset_springs) — the gather-free
+    # spring pass for grid/chain topologies; applied IN ADDITION to
+    # `springs` (use empty_springs(0) when all springs are offset families)
+    offset_springs: OffsetSprings | None = None
 
 
 class SceneState(NamedTuple):

@@ -332,6 +332,41 @@ def build_cloth(scene: dict, rng: np.random.RandomState, caps: Caps):
     return particles, spec, len(pts)
 
 
+def attach_incidence(spec: SceneSpec, n: int) -> SceneSpec:
+    """Restructure constraint topology for the TPU solver loop:
+    1. springs whose index offsets form static families (cloth grid, chains)
+       become OffsetSprings — endpoint reads compile to slices, zero
+       gathers/scatters;
+    2. leftover irregular springs get a SpringIncidence gather table;
+    3. clusters get a ClusterIncidence gather table.
+    Pure topology reshaping; constraint semantics are unchanged
+    (tests/test_solver_paths.py asserts trajectory equality)."""
+    from adaptigraph_tpu.engine.state import (
+        build_cluster_incidence, build_spring_incidence, make_springs,
+        springs_to_offset_families)
+
+    if spec.offset_springs is None and spec.springs.idx.shape[0] > 0:
+        sv = np.asarray(spec.springs.valid)
+        if sv.any():
+            idx = np.asarray(spec.springs.idx)[sv]
+            rest = np.asarray(spec.springs.rest)[sv]
+            stiff = np.asarray(spec.springs.stiffness)[sv]
+            fams, leftover = springs_to_offset_families(idx, rest, stiff, n)
+            if fams is not None:
+                spec = spec._replace(offset_springs=fams)
+                if leftover.any():
+                    spec = spec._replace(springs=make_springs(
+                        idx[leftover], rest[leftover], stiff[leftover]))
+                else:
+                    spec = spec._replace(springs=empty_springs(0))
+    if spec.spring_inc is None and spec.springs.idx.shape[0] > 0:
+        spec = spec._replace(spring_inc=build_spring_incidence(spec.springs, n))
+    if (spec.cluster_inc is None and spec.clusters.member.shape[0] > 0
+            and spec.clusters.member.shape[1] > 0):
+        spec = spec._replace(cluster_inc=build_cluster_incidence(spec.clusters, n))
+    return spec
+
+
 _BUILDERS = {"rope": build_rope, "granular": build_granular, "cloth": build_cloth}
 
 
@@ -346,6 +381,7 @@ def build_scene(material: str, rng: np.random.RandomState, shapes: ShapeSet | No
     if scene_overrides:
         scene.update(scene_overrides)
     particles, spec, n_active = _BUILDERS[material](scene, rng, caps)
+    spec = attach_incidence(spec, caps.n)
     if shapes is None:
         from adaptigraph_tpu.engine.state import SHAPE_PLANE, make_shapes
 

@@ -33,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from adaptigraph_tpu.engine import SHAPE_BOX, SHAPE_CAPSULE, SHAPE_PLANE, xpbd_step
+from adaptigraph_tpu.engine import (
+    SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CONVEX, SHAPE_PLANE, xpbd_step)
 from adaptigraph_tpu.engine.state import ShapeSet, make_shapes
 from adaptigraph_tpu.scenes import build_scene
 from adaptigraph_tpu.scenes.build import MATERIAL_CAPS
@@ -86,6 +87,16 @@ class SimEnv:
         self.wkspace_height = 0.5
         self.wkspace_width = 3.5
         self.wkspace_length = 4.5
+        # xArm6 in the sim: link convex hulls as kinematic collision shapes +
+        # IK-tracked link poses (the reference adds every URDF link mesh via
+        # pyflex.add_mesh and steps pybullet IK per sim frame,
+        # robot_env.py:19-60, flex_env.py:127-149)
+        self.use_robot = bool(d.get("use_robot", True))
+        base_lift = 1.0 if self.obj == "cloth" else 0.3
+        self.robot_base = np.array(
+            [-self.wkspace_width - 0.6, self.wkspace_height + base_lift, 0.0],
+            np.float32)  # flex frame of flex_env.py:127-146's bullet base pos
+        self._q_rest = np.zeros(6, np.float32)
         self._group_fn = None
         self.sampled_idx = None
 
@@ -116,8 +127,30 @@ class SimEnv:
         kinds += tk
         sizes += ts
         poses += [np.array([0.0, 20.0, 0.0])] * len(tk)  # parked far above
+        planes = [None] * len(kinds)
+        self.arm_slot0 = len(kinds)
+        self.n_arm = 0
+        if self.use_robot:
+            from adaptigraph_tpu.sim.robot import link_pose_traj, load_arm_assets
+
+            assets = load_arm_assets(scale=10.0)
+            self.n_arm = len(assets["planes"])
+            kinds += [SHAPE_CONVEX] * self.n_arm
+            sizes += [np.zeros(3)] * self.n_arm
+            planes += assets["planes"]
+            # rest pose at the base (settle phase; flex_env rest_joints=0)
+            lp, lq = link_pose_traj(self._q_rest[None], jnp.asarray(self.robot_base))
+            self._rest_link_pos = np.asarray(lp[0])
+            self._rest_link_quat = np.asarray(lq[0])
+            poses += list(self._rest_link_pos)
         quats = [np.array([0.0, 0, 0, 1.0])] * len(kinds)
-        return make_shapes(kinds, sizes, poses, quats, m_max=self.caps.m)
+        shapes = make_shapes(kinds, sizes, poses, quats,
+                             m_max=max(self.caps.m, len(kinds)), planes=planes)
+        if self.use_robot:
+            q = np.array(shapes.quat)
+            q[self.arm_slot0: self.arm_slot0 + self.n_arm] = self._rest_link_quat
+            shapes = shapes._replace(quat=jnp.asarray(q), prev_quat=jnp.asarray(q))
+        return shapes
 
     def _tool_pose_arrays(self, eef_pos, tool_rot, grip_gap):
         """Shape poses (M,3)+(M,4) for the current eef pose.
@@ -159,6 +192,7 @@ class SimEnv:
     def reset(self, seed: int = 0, save_data: bool = False):
         rng = np.random.RandomState(seed)
         self.rng = np.random.RandomState(seed + 1000003)
+        self._q_cur = self._q_rest.copy()
         shapes = self._build_shapes()
         b = build_scene(self.obj, rng, shapes=shapes, caps=self.caps)
         self.build = b
@@ -218,23 +252,30 @@ class SimEnv:
         caps = self.caps
         substeps, iterations = self.substeps, self.iterations
         tool_slot0, n_tool = self.tool_slot0, self.n_tool
+        arm_slot0, n_arm = self.arm_slot0, self.n_arm
         env = self
 
         group = self.chunk_group
 
         @partial(jax.jit, donate_argnums=(0,))
-        def group_fn(state, spec, eefs, rots, gaps, atts, attach_idx, attach_rel):
+        def group_fn(state, spec, eefs, rots, gaps, atts, lps, lqs,
+                     attach_idx, attach_rel):
             """`chunk_group` x CHUNK sim steps as one device program,
             recording particle positions at every CHUNK boundary. Grouped
             dispatch balances program size (a whole-push program once
             crashed the remote TPU worker) against per-dispatch tunnel
-            latency; `state` is donated so scene buffers update in place."""
+            latency; `state` is donated so scene buffers update in place.
+            lps/lqs: per-step arm link poses (.., n_arm, 3)/(.., n_arm, 4)
+            from the IK-tracked FK chain (zero-width when use_robot off)."""
 
             def one_step(st, inp):
-                eef, rot, gap, att_on = inp
+                eef, rot, gap, att_on, lp, lq = inp
                 tp, tq = env._tool_pose_arrays(eef, rot, gap)
                 new_pos = st.shapes.pos.at[tool_slot0: tool_slot0 + n_tool].set(tp)
                 new_quat = st.shapes.quat.at[tool_slot0: tool_slot0 + n_tool].set(tq)
+                if n_arm:
+                    new_pos = new_pos.at[arm_slot0: arm_slot0 + n_arm].set(lp)
+                    new_quat = new_quat.at[arm_slot0: arm_slot0 + n_arm].set(lq)
                 st = st._replace(shapes=st.shapes.moved_to(new_pos, new_quat))
                 # attachment: move grasped particles with the tool
                 p = st.particles
@@ -253,22 +294,34 @@ class SimEnv:
                 st, _ = jax.lax.scan(one_step, st, inp)
                 return st, st.particles.pos
 
-            st, pos_rec = jax.lax.scan(one_chunk, state, (eefs, rots, gaps, atts))
+            st, pos_rec = jax.lax.scan(one_chunk, state,
+                                       (eefs, rots, gaps, atts, lps, lqs))
             return st, pos_rec, jnp.isnan(st.particles.pos[:, 0]).any()
 
         self._group_fn = group_fn
 
     def _push_fn(self, state, spec, eef_traj, rot_traj, gap_traj, attach_idx,
                  attach_rel, attach_active, n_chunks_active=None,
-                 max_chunks_override=None):
+                 max_chunks_override=None, link_pos_traj=None,
+                 link_quat_traj=None):
         """Host loop over chunk groups; dispatches only the chunks the push
         (+ settle) actually needs and pads the remaining records."""
         g = self.chunk_group
         mc = max_chunks_override or self.max_chunks
+        total = mc * CHUNK
         eef_c = np.asarray(eef_traj).reshape(mc, CHUNK, 3)
         rot_c = np.asarray(rot_traj).reshape(mc, CHUNK, 3, 3)
         gap_c = np.asarray(gap_traj).reshape(mc, CHUNK)
         att_c = np.asarray(attach_active).reshape(mc, CHUNK)
+        if link_pos_traj is None:  # arm off or parked: hold the rest pose
+            if self.n_arm:
+                link_pos_traj = np.tile(self._rest_link_pos[None], (total, 1, 1))
+                link_quat_traj = np.tile(self._rest_link_quat[None], (total, 1, 1))
+            else:
+                link_pos_traj = np.zeros((total, 0, 3), np.float32)
+                link_quat_traj = np.zeros((total, 0, 4), np.float32)
+        lp_c = np.asarray(link_pos_traj).reshape(mc, CHUNK, self.n_arm, 3)
+        lq_c = np.asarray(link_quat_traj).reshape(mc, CHUNK, self.n_arm, 4)
         n_active = n_chunks_active or mc
         n_groups = -(-n_active // g)
         pos_rec, nan_any = [], False
@@ -279,10 +332,11 @@ class SimEnv:
             sl = slice(lo, hi)
             # tail groups dispatch at their true size: jit caches one program
             # per distinct group length (at most `g` variants)
-            eefs, rots, gaps, atts = eef_c[sl], rot_c[sl], gap_c[sl], att_c[sl]
             st, pos, nan = self._group_fn(
-                st, spec, jnp.array(eefs), jnp.array(rots), jnp.array(gaps),
-                jnp.array(atts), jnp.asarray(attach_idx), jnp.asarray(attach_rel))
+                st, spec, jnp.array(eef_c[sl]), jnp.array(rot_c[sl]),
+                jnp.array(gap_c[sl]), jnp.array(att_c[sl]),
+                jnp.array(lp_c[sl]), jnp.array(lq_c[sl]),
+                jnp.asarray(attach_idx), jnp.asarray(attach_rel))
             pos_rec.extend(np.asarray(pos))
             if bool(np.asarray(nan)):
                 nan_any = True
@@ -291,6 +345,8 @@ class SimEnv:
             pos_rec.append(pos_rec[-1])
         eef_rec = eef_c[:, -1]
         rot_rec = rot_c[:, -1]
+        self._gap_rec = gap_c[:, -1]
+        self._link_rec = (lp_c[:, -1], lq_c[:, -1])
         return st, np.stack(pos_rec[:mc]), eef_rec, rot_rec, np.array([nan_any])
 
     # ---------- step ----------
@@ -339,6 +395,27 @@ class SimEnv:
             jnp.asarray(_rot_host(pusher_angle), dtype=jnp.float32)))
         rot_traj = np.tile(rot[None], (total, 1, 1)).astype(np.float32)
 
+        # IK-track the arm along the scripted eef trajectory BEFORE the sim
+        # loop (joints depend only on the scripted path, so the whole push
+        # solves as one warm-started lax.scan; contrast the per-sim-step
+        # pybullet IK of flex_env.py:297-304). The tool then FOLLOWS THE FK
+        # CHAIN — like the reference, where the stick/board/fingers are URDF
+        # links — so physics, rendering, and recorded eef states agree.
+        lp_traj = lq_traj = None
+        if self.use_robot:
+            from adaptigraph_tpu.sim.robot import ik_traj, link_pose_traj
+
+            q_traj = ik_traj(jnp.asarray(eef_flex),
+                             jnp.tile(jnp.asarray(rot)[None], (total, 1, 1)),
+                             jnp.asarray(self._q_cur), jnp.asarray(self.robot_base))
+            lp, lq = link_pose_traj(q_traj, jnp.asarray(self.robot_base))
+            lp_traj, lq_traj = np.asarray(lp), np.asarray(lq)
+            self._q_cur = np.asarray(q_traj[-1])
+            eef_flex = lp_traj[:, -1]
+            rot_traj = np.asarray(jax.vmap(geo.quat_to_matrix)(
+                jnp.asarray(lq_traj[:, -1])))
+            rot = rot_traj[0]
+
         # gripper schedule
         gap_traj = np.full(total, 0.4, np.float32)
         attach_active = np.zeros(total, np.float32)
@@ -364,7 +441,8 @@ class SimEnv:
                               self.max_chunks)
         st, pos_rec, eef_rec, rot_rec, nan_rec = self._push_fn(
             self.state, self.spec, eef_flex, rot_traj, gap_traj, attach_idx,
-            attach_rel, attach_active, n_chunks_active=n_chunks_active)
+            attach_rel, attach_active, n_chunks_active=n_chunks_active,
+            link_pos_traj=lp_traj, link_quat_traj=lq_traj)
 
         if bool(np.asarray(nan_rec).any()):
             print("simulator exploded when action is", action)
@@ -386,6 +464,7 @@ class SimEnv:
         """Select chunk boundaries per the contact-gated cadence and record
         frames (flex_env.py:369-376 semantics at CHUNK granularity)."""
         n_chunks_active = min((t_push + CHUNK - 1) // CHUNK, self.max_chunks)
+        self._cap_eef, self._cap_rot = eef_rec, rot_rec
         for ci in range(self.max_chunks):
             step_idx = (ci + 1) * CHUNK
             pts = pos_rec[ci][: self.n_active]
@@ -399,7 +478,27 @@ class SimEnv:
             elif ci != self.max_chunks - 1:
                 continue  # during settle only the final frame is stored
             self._store(data, particles=pos_rec[ci],
-                        store_tool_pose=(jnp.array(eef_rec[ci]), jnp.array(rot_rec[ci])))
+                        store_tool_pose=(jnp.array(eef_rec[ci]), jnp.array(rot_rec[ci])),
+                        shapes=self._shapes_at(ci))
+
+    def _shapes_at(self, ci):
+        """Shape set posed as it was at chunk boundary `ci` — so captured
+        frames show the tool/arm where they actually were (the reference
+        renders in-loop, flex_env.py:369-376), not at the push's final pose."""
+        eef = jnp.asarray(self._cap_eef[ci])
+        rot = jnp.asarray(self._cap_rot[ci])
+        gap = jnp.asarray(self._gap_rec[ci])
+        tp, tq = self._tool_pose_arrays(eef, rot, gap)
+        shapes = self.state.shapes
+        pos = shapes.pos.at[self.tool_slot0: self.tool_slot0 + self.n_tool].set(tp)
+        quat = shapes.quat.at[self.tool_slot0: self.tool_slot0 + self.n_tool].set(tq)
+        if self.n_arm:
+            lp, lq = self._link_rec
+            pos = pos.at[self.arm_slot0: self.arm_slot0 + self.n_arm].set(
+                jnp.asarray(lp[ci]))
+            quat = quat.at[self.arm_slot0: self.arm_slot0 + self.n_arm].set(
+                jnp.asarray(lq[ci]))
+        return shapes._replace(pos=pos, quat=quat)
 
     # ---------- capture / render ----------
 
@@ -432,7 +531,7 @@ class SimEnv:
         self._eef_prev = (link_pos, quat)
         return np.stack(rows)
 
-    def _store(self, data, particles=None, store_tool_pose=None):
+    def _store(self, data, particles=None, store_tool_pose=None, shapes=None):
         imgs_list, particle_list, eef_list = data
         if particles is None:
             particles = np.asarray(self.state.particles.pos)
@@ -440,13 +539,14 @@ class SimEnv:
                              if self.fps else particles[: self.n_active].copy())
         eef, rot = store_tool_pose
         eef_list.append(self._eef_states_from_pose(eef, rot))
-        imgs = self._render_multiview(particles)
+        imgs = self._render_multiview(particles, shapes=shapes)
         imgs_list.append(imgs)
 
-    def _render_multiview(self, particles):
+    def _render_multiview(self, particles, shapes=None):
         H, W = self.screen
         frames = []
-        shapes = self.state.shapes
+        if shapes is None:
+            shapes = self.state.shapes
         for ci in range(4):
             fwd = _fwd_from_angle(self._cam_ang[ci])
             f = render_frame(jnp.asarray(particles), jnp.asarray(self.colors),

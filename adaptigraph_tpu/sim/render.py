@@ -26,7 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from adaptigraph_tpu.engine.state import SHAPE_BOX, SHAPE_CAPSULE, ShapeSet
+from adaptigraph_tpu.engine.state import (
+    SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CONVEX, ShapeSet)
 from adaptigraph_tpu.utils import geometry as geo
 
 _FAR = 1e9
@@ -84,6 +85,35 @@ def _ray_capsule(ro, rd, radius, half_len):
     return jnp.where(t < _FAR, t, _FAR), n
 
 
+def _ray_convex(ro, rd, planes):
+    """Convex polytope (intersection of halfspaces n·x <= d) raycast — the
+    render path for SHAPE_CONVEX kinematic shapes (robot arm link hulls; the
+    reference draws the same links as GL triangle meshes, robot_env.py:19-60).
+    Generalized slab test: entering planes (n·rd < 0) set t_enter = max,
+    exiting planes set t_exit = min. Zero-normal rows are padding."""
+    n = planes[..., :3]  # (P, 3)
+    d = planes[..., 3]
+    pvalid = jnp.sum(n * n, axis=-1) > 0.25
+    denom = jnp.einsum("...i,pi->...p", rd, n)  # (..., P)
+    num = d - jnp.einsum("...i,pi->...p", ro, n)
+    t = num / jnp.where(jnp.abs(denom) < 1e-9,
+                        jnp.where(denom >= 0, 1e-9, -1e-9), denom)
+    entering = denom < 0
+    # parallel rays outside a plane never hit: force a miss via t_enter=inf
+    outside_parallel = (jnp.abs(denom) < 1e-9) & (num < 0) & pvalid
+    t_in = jnp.where(entering & pvalid, t, -_FAR)
+    t_in = jnp.where(outside_parallel, _FAR, t_in)
+    t_out = jnp.where((~entering) & pvalid & (jnp.abs(denom) >= 1e-9), t, _FAR)
+    t_enter = jnp.max(t_in, axis=-1)
+    t_exit = jnp.min(t_out, axis=-1)
+    hit = (t_exit >= jnp.maximum(t_enter, 0.0)) & (t_enter < _FAR) & \
+        jnp.any(pvalid)
+    thit = jnp.where(hit, jnp.where(t_enter > 0, t_enter, _FAR), _FAR)
+    best = jnp.argmax(jnp.where(t_in == t_enter[..., None], 1.0, 0.0), axis=-1)
+    nrm = n[best]
+    return thit, nrm
+
+
 def _ray_plane(ro, rd):
     t = -ro[..., 1] / jnp.where(jnp.abs(rd[..., 1]) < 1e-9, 1e-9, rd[..., 1])
     t = jnp.where(t > 0, t, _FAR)
@@ -123,7 +153,7 @@ def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
          -jnp.ones((height, width), dtype=jnp.float32)], axis=-1)
     dirs_world = dirs_cam @ rot  # rows are axes -> rot.T @ v == v @ rot
 
-    def one_shape(kind, size, spos, squat, valid):
+    def one_shape(kind, size, spos, squat, valid, planes):
         q_inv = geo.quat_conjugate(squat)
         ro = geo.quat_rotate(q_inv, cam_pos - spos)
         rd = geo.quat_rotate(q_inv, dirs_world)
@@ -135,12 +165,16 @@ def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
                       jnp.where(kind == SHAPE_CAPSULE, t_cap, t_pl))
         n = jnp.where(kind == SHAPE_BOX, n_box,
                       jnp.where(kind == SHAPE_CAPSULE, n_cap, n_pl))
+        if planes.shape[-2] > 0:
+            t_cx, n_cx = _ray_convex(ro, rd, planes)
+            t = jnp.where(kind == SHAPE_CONVEX, t_cx, t)
+            n = jnp.where(kind == SHAPE_CONVEX, n_cx, n)
         t = jnp.where(valid, t, _FAR)
         n_world = geo.quat_rotate(squat, n)
         return t, n_world
 
     ts, ns = jax.vmap(one_shape)(shapes.kind, shapes.size, shapes.pos, shapes.quat,
-                                 shapes.valid)
+                                 shapes.valid, shapes.planes)
     best = jnp.argmin(ts, axis=0)
     t_hit = jnp.min(ts, axis=0)
     n_hit = jnp.take_along_axis(ns, best[None, ..., None], axis=0)[0]

@@ -123,6 +123,92 @@ def ik_solve(target_pos, target_rot, q0, base_pos, iters: int = 30, scale: float
     return q
 
 
+@partial(jax.jit, static_argnames=("iters_per_step", "scale"))
+def ik_traj(eef_pos_traj, eef_rot_traj, q0, base_pos, iters_per_step: int = 6,
+            scale: float = 10.0):
+    """Joint trajectory tracking an end-effector trajectory: one DLS update
+    block per frame, warm-started from the previous frame — the whole push
+    solves as a single `lax.scan` BEFORE the sim loop (the tool trajectory is
+    scripted, so IK never depends on particle state; contrast the reference's
+    per-sim-step pybullet IK call, flex_env.py:297-304).
+
+    Args: eef_pos_traj (T, 3), eef_rot_traj (T, 3, 3) flex-frame targets,
+      q0 (6,) initial joints, base_pos (3,).
+    Returns: (T, 6) joint angles."""
+    lower = jnp.asarray(JOINT_LOWER)
+    upper = jnp.asarray(JOINT_UPPER)
+
+    def one_frame(q, tgt):
+        tp, tr = tgt
+
+        def err(qq):
+            p, r = fk_eef(qq, base_pos, scale)
+            e_pos = p - tp
+            m = tr.T @ r
+            e_rot = 0.5 * jnp.array([m[2, 1] - m[1, 2], m[0, 2] - m[2, 0],
+                                     m[1, 0] - m[0, 1]])
+            return jnp.concatenate([e_pos, 0.3 * e_rot])
+
+        def body(qq, _):
+            e = err(qq)
+            jac = jax.jacfwd(err)(qq)
+            jtj = jac.T @ jac + 0.01 * jnp.eye(6)
+            dq = jnp.linalg.solve(jtj, jac.T @ e)
+            return jnp.clip(qq - dq, lower, upper), None
+
+        q, _ = jax.lax.scan(body, q, None, length=iters_per_step)
+        return q, q
+
+    _, q_traj = jax.lax.scan(one_frame, jnp.asarray(q0, jnp.float32),
+                             (jnp.asarray(eef_pos_traj, jnp.float32),
+                              jnp.asarray(eef_rot_traj, jnp.float32)))
+    return q_traj
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def link_pose_traj(q_traj, base_pos, scale: float = 10.0):
+    """Batched FK: (T, 6) joints -> link poses (T, 7, 3) + quats (T, 7, 4)
+    for the arm's kinematic collision/render shapes (the counterpart of
+    getRobotShapeStates, robot_env.py:66-108)."""
+    from adaptigraph_tpu.utils import geometry as geo
+
+    def one(q):
+        p, r = fk_link_poses(q, base_pos, scale)
+        return p, geo.matrix_to_quat(r)
+
+    return jax.vmap(one)(jnp.asarray(q_traj, jnp.float32))
+
+
+_ARM_ASSETS = None
+
+
+def load_arm_assets(scale: float = 10.0):
+    """Load the committed xArm6 link convex hulls + surface samples
+    (data/assets/xarm6_links.npz, generated by scripts/gen_xarm_assets.py
+    from the URDF VHACD collision meshes). Halfspaces n·x <= d scale to
+    world units as d*scale. Returns a dict {planes: list of 7 (P,4) arrays,
+    surf: list of (S,3), surf_n: list of (S,3)} in link-local world units."""
+    global _ARM_ASSETS
+    if _ARM_ASSETS is not None and _ARM_ASSETS[0] == scale:
+        return _ARM_ASSETS[1]
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "data", "assets",
+                        "xarm6_links.npz")
+    raw = np.load(os.path.abspath(path))
+    links = [str(x) for x in raw["links"]]
+    planes, surf, surf_n = [], [], []
+    for name in links:
+        p = raw[f"{name}_planes"].astype(np.float32).copy()
+        p[:, 3] *= scale
+        planes.append(p)
+        surf.append(raw[f"{name}_surf"].astype(np.float32) * scale)
+        surf_n.append(raw[f"{name}_surf_n"].astype(np.float32))
+    out = {"links": links, "planes": planes, "surf": surf, "surf_n": surf_n}
+    _ARM_ASSETS = (scale, out)
+    return out
+
+
 def pusher_orientation(pusher_angle):
     """Flex-frame tool rotation for a down-pointing pusher whose board/stick
     axis is yawed by `pusher_angle` about the vertical (the env's

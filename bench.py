@@ -34,26 +34,15 @@ import jax.numpy as jnp
 
 
 def bench_pbd(n=5000, t=100, substeps=2, iterations=4, trials=3):
-    from adaptigraph_tpu.engine import (
-        SHAPE_PLANE, SceneSpec, SceneState, SolverParams, rollout_steps)
-    from adaptigraph_tpu.engine.state import (
-        empty_clusters, make_particles, make_shapes, make_springs)
+    """XPBD frames/s at the 5k-particle rope design point: a rope-lattice
+    particle layout (x-major coherent order, as the scene builders emit),
+    chain springs, floor plane, rope solver schedule (2 substeps x 4
+    iterations), block-sparse Pallas contact sweep + offset-family springs —
+    the same code path `SimEnv` runs."""
+    from adaptigraph_tpu.engine import rollout_steps
+    from scripts.bench_pbd_paths import make_case
 
-    rng = np.random.RandomState(0)
-    pos = rng.rand(n, 3).astype(np.float32) * np.array([4, 1, 4], np.float32) + \
-        np.array([-2, 0.5, -2], np.float32)
-    p = make_particles(pos, group=np.arange(n) % 500)
-    shapes = make_shapes([SHAPE_PLANE], [[0, 0, 0]], [[0, 0, 0]], [[0, 0, 0, 1]],
-                         m_max=4)
-    idx = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
-    springs = make_springs(idx, rest=0.05, stiffness=0.3)
-    spec = SceneSpec(springs=springs, clusters=empty_clusters(2, 4),
-                     global_stiffness=jnp.float32(0.0),
-                     global_rest=jnp.zeros((0, 3)), rest_pos=jnp.zeros((n, 3)),
-                     params=SolverParams())
-    st = SceneState(particles=p, shapes=shapes,
-                    cluster_rot=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (2, 1)),
-                    global_rot=jnp.array([0.0, 0, 0, 1.0]))
+    st, spec = make_case(n, "rope")
     pos_traj = jnp.tile(st.shapes.pos[None], (t, 1, 1))
     quat_traj = jnp.tile(st.shapes.quat[None], (t, 1, 1))
 

@@ -1,0 +1,137 @@
+"""Decompose the 5k rope-layout PBD frame cost op-by-op on the real TPU.
+
+Every measurement scans REPS=1000 invocations inside ONE program so the
+axon tunnel latency (~25-30 ms/dispatch) is amortized to noise.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scripts.bench_pbd_paths import make_case  # noqa: E402
+
+REPS = 1000
+
+
+def scan_time(name, body, x0, reps=REPS, trials=3):
+    @jax.jit
+    def run(x):
+        def f(c, _):
+            return body(c), None
+        c, _ = jax.lax.scan(f, x, None, length=reps)
+        return c
+
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(leaf))
+
+    sync(run(x0))
+    best = 1e30
+    for _ in range(trials):
+        t0 = time.time()
+        sync(run(x0))
+        best = min(best, (time.time() - t0) / reps)
+    print(json.dumps({"op": name, "us": round(best * 1e6, 1)}), flush=True)
+    return best
+
+
+def main():
+    from functools import partial
+    from adaptigraph_tpu.engine.solver import (
+        _spring_deltas, _spring_deltas_gather, xpbd_step)
+    from adaptigraph_tpu.engine.collisions import shape_contact_deltas
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        block_sparse_contact_deltas, tile_overlap_blocks)
+    from adaptigraph_tpu.engine.state import empty_springs
+
+    print("backend:", jax.default_backend(), flush=True)
+    st, spec = make_case(5000, "rope")
+    p = st.particles
+    n = p.pos.shape[0]
+    pos = p.pos
+
+    # ---- whole frames (REPS=100: frames are ~ms each) ----
+    def frame(mode_spec, substeps, iterations):
+        @partial(jax.jit, static_argnames=("ss", "it"))
+        def f(stx, ss, it):
+            stx = stx._replace(shapes=stx.shapes.moved_to(stx.shapes.pos,
+                                                          stx.shapes.quat))
+            return xpbd_step(stx, mode_spec, ss, it, contact_mode="block")
+        return lambda stx: f(stx, substeps, iterations)
+
+    scan_time("frame 2x4 (full)", frame(spec, 2, 4), st, reps=200)
+    scan_time("frame 2x4 (no springs)",
+              frame(spec._replace(springs=empty_springs(0), spring_inc=None), 2, 4),
+              st, reps=200)
+    scan_time("frame 2x1 (full)", frame(spec, 2, 1), st, reps=200)
+    scan_time("frame 1x1 (full)", frame(spec, 1, 1), st, reps=200)
+
+    # ---- individual passes ----
+    pad = -(-n // 128) * 128
+    pos_pad = jnp.pad(pos, ((0, pad - n), (0, 0)))
+    act_pad = jnp.pad(p.active, (0, pad - n))
+    bidx, bcnt, _ = tile_overlap_blocks(pos_pad, act_pad, 0.045)
+
+    scan_time("block contact kernel", lambda x: block_sparse_contact_deltas(
+        x, x, p.group, p.inv_mass, p.self_collide, p.active, spec.rest_pos,
+        0.03, 0.25, 0.0, bidx, bcnt)[0] * 1e-6 + x, pos)
+    scan_time("tile_overlap_blocks", lambda x: x + 1e-6 * tile_overlap_blocks(
+        x[:pad] if x.shape[0] >= pad else jnp.pad(x, ((0, pad - x.shape[0]), (0, 0))),
+        act_pad, 0.045)[0].astype(jnp.float32).sum(), pos_pad)
+    if spec.offset_springs is not None:
+        from adaptigraph_tpu.engine.solver import _spring_deltas_offset
+        scan_time("spring pass offset-family", lambda x: _spring_deltas_offset(
+            x, p.inv_mass, spec.offset_springs)[0] * 1e-6 + x, pos)
+    if spec.springs.idx.shape[0] > 0:
+        scan_time("spring pass scatter", lambda x: _spring_deltas(
+            x, p.inv_mass, spec.springs)[0] * 1e-6 + x, pos)
+    if spec.spring_inc is not None:
+        scan_time("spring pass gather-inc", lambda x: _spring_deltas_gather(
+            x, p.inv_mass, spec.springs, spec.spring_inc)[0] * 1e-6 + x, pos)
+    svel = jnp.zeros_like(st.shapes.pos)
+    scan_time("shape contact pass", lambda x: shape_contact_deltas(
+        x, x, st.shapes, st.shapes.pos, st.shapes.quat, svel,
+        0.015, 0.0, 0.1, 1 / 120)[0] * 1e-6 + x, pos)
+    # plain gather and scatter at N=5k for reference
+    idx = jnp.asarray(np.random.RandomState(1).randint(0, n, n).astype(np.int32))
+    scan_time("bare gather (N,3)", lambda x: x[idx] * 1e-6 + x, pos)
+    scan_time("bare scatter-add (N,3)", lambda x: jnp.zeros_like(x).at[idx].add(x)
+              * 1e-6 + x, pos)
+
+
+
+if __name__ == "__main__" and "--tiles" not in sys.argv:
+    main()
+
+
+def tile_probe():
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        block_sparse_contact_deltas, tile_overlap_blocks)
+    print("backend:", jax.default_backend(), flush=True)
+    st, spec = make_case(5000, "rope")
+    p = st.particles
+    pos = p.pos
+    for tile in (32, 64, 128):
+        pad = -(-pos.shape[0] // tile) * tile
+        pos_pad = jnp.pad(pos, ((0, pad - pos.shape[0]), (0, 0)))
+        act_pad = jnp.pad(p.active, (0, pad - pos.shape[0]))
+        bidx, bcnt, ovf = tile_overlap_blocks(pos_pad, act_pad, 0.045, tile=tile)
+        print("tile", tile, "mean blocks/row:",
+              round(float(jnp.mean(bcnt.astype(jnp.float32))), 2),
+              "overflow:", int(ovf), flush=True)
+        scan_time(f"block kernel tile={tile}",
+                  lambda x, t=tile, bi=bidx, bc=bcnt: block_sparse_contact_deltas(
+                      x, x, p.group, p.inv_mass, p.self_collide, p.active,
+                      spec.rest_pos, 0.03, 0.25, 0.0, bi, bc, tile=t)[0]
+                  * 1e-6 + x, pos)
+
+
+if __name__ == "__main__" and "--tiles" in sys.argv:
+    tile_probe()
+    sys.exit(0)

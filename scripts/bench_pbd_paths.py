@@ -42,10 +42,12 @@ def make_case(n, layout="rope"):
                          m_max=4)
     idx = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
     springs = make_springs(idx, rest=0.05, stiffness=0.3)
+    from adaptigraph_tpu.scenes.build import attach_incidence
     spec = SceneSpec(springs=springs, clusters=empty_clusters(2, 4),
                      global_stiffness=jnp.float32(0.0),
                      global_rest=jnp.zeros((0, 3)), rest_pos=jnp.zeros((n, 3)),
                      params=SolverParams())
+    spec = attach_incidence(spec, n)
     st = SceneState(particles=p, shapes=shapes,
                     cluster_rot=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (2, 1)),
                     global_rot=jnp.array([0.0, 0, 0, 1.0]))

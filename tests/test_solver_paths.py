@@ -97,3 +97,46 @@ def test_block_sweep_multi_tile_spread_scene():
                          contact_mode="block")
     np.testing.assert_allclose(np.asarray(st_d.particles.pos),
                                np.asarray(st_b.particles.pos), atol=1e-5)
+
+
+def _spring_cluster_scene(n=80, seed=7):
+    from adaptigraph_tpu.engine.state import make_clusters, make_springs
+
+    rng = np.random.RandomState(seed)
+    pts = rng.rand(n, 3).astype(np.float32) * 0.5 + np.array([0, 0.3, 0], np.float32)
+    p = make_particles(pts, group=np.arange(n) % 10)
+    shapes = make_shapes([SHAPE_PLANE], [[0, 0, 0]], [[0, 0, 0]], [[0, 0, 0, 1]],
+                         m_max=2)
+    idx = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+    springs = make_springs(idx, rest=0.05, stiffness=0.4, capacity=n + 10)
+    members = [list(range(i, min(i + 6, n))) for i in range(0, n, 4)]
+    clusters = make_clusters(members, pts, 0.3, c_max=len(members) + 2, k_max=8)
+    spec = SceneSpec(
+        springs=springs, clusters=clusters,
+        global_stiffness=jnp.float32(0.0), global_rest=jnp.zeros((0, 3)),
+        rest_pos=jnp.zeros((n, 3)),
+        params=SolverParams(radius=jnp.float32(0.08),
+                            solid_rest_distance=jnp.float32(0.08),
+                            gravity=jnp.float32(-10.0)))
+    st = SceneState(particles=p, shapes=shapes,
+                    cluster_rot=jnp.tile(jnp.array([0.0, 0, 0, 1.0]),
+                                         (len(members) + 2, 1)),
+                    global_rot=jnp.array([0.0, 0, 0, 1]))
+    return st, spec
+
+
+def test_incidence_gather_matches_scatter_paths():
+    """Spring/cluster passes via the precomputed incidence tables (gather
+    only) must reproduce the scatter-add formulation exactly (same pair
+    terms, different reduction order -> tight tolerance over 15 frames)."""
+    from adaptigraph_tpu.scenes.build import attach_incidence
+
+    st_a, spec = _spring_cluster_scene()
+    spec_inc = attach_incidence(spec, spec.rest_pos.shape[0])
+    assert spec_inc.spring_inc is not None and spec_inc.cluster_inc is not None
+    st_b = st_a
+    for _ in range(15):
+        st_a = xpbd_step(st_a, spec, substeps=2, iterations=4)
+        st_b = xpbd_step(st_b, spec_inc, substeps=2, iterations=4)
+    np.testing.assert_allclose(np.asarray(st_a.particles.pos),
+                               np.asarray(st_b.particles.pos), atol=2e-5)
