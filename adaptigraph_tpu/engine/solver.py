@@ -431,21 +431,24 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
                       global_rot=gl_rot, cluster_rest=cl_rest)
 
 
-@partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k", "record"))
+@partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
+                                   "record", "contact_mode"))
 def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat_traj,
                   substeps: int, iterations: int, neighbor_k: int = 24,
-                  record: bool = True):
+                  record: bool = True, contact_mode: str | None = None):
     """Scan a whole tool trajectory on device (T outer frames).
 
     shape_pos_traj: (T, M, 3), shape_quat_traj: (T, M, 4) — per-frame target
     poses for every kinematic shape. Returns (final_state, recorded particle
-    positions (T, N, 3) if `record`).
+    positions (T, N, 3) if `record`). `contact_mode` forwards to xpbd_step
+    (None = auto; 'sparse' avoids interpret-mode Pallas on CPU hosts).
     """
 
     def body(st, tgt):
         pos_t, quat_t = tgt
         st = st._replace(shapes=st.shapes.moved_to(pos_t, quat_t))
-        st = xpbd_step(st, spec, substeps, iterations, neighbor_k)
+        st = xpbd_step(st, spec, substeps, iterations, neighbor_k,
+                       contact_mode=contact_mode)
         out = st.particles.pos if record else None
         return st, out
 

@@ -142,7 +142,10 @@ def build_rope(scene: dict, rng: np.random.RandomState, caps: Caps):
     if len(pts) > caps.n:
         # cap overflow by dropping tail x-slices (slightly shorter rope) —
         # both sampling orders are x-major, same mechanism as the granular
-        # grid truncation
+        # grid truncation. Recorded in the scene dict so build_scene stamps
+        # it into property_params (the episode's physics labels) and
+        # training can see the distribution shift.
+        scene["truncated_particles"] = int(len(pts) - caps.n)
         pts = pts[: caps.n]
     # transform: R_y(90) @ R_z(z_rot) then translate (scenes.py:36-42)
     rot = _rot_y(scene["y_rotation"]) @ _rot_z(scene["z_rotation"])
@@ -229,6 +232,10 @@ def build_granular(scene: dict, rng: np.random.RandomState, caps: Caps):
             lower = origin + np.array([xi * pos_diff, 0.0, zi * pos_diff])
             blob = blob - blob.min(0) + lower.astype(np.float32)
             if count + len(blob) > caps.n or len(members) >= caps.c:
+                # capacity-capped: the sampled grid wanted more granules;
+                # stamp the shortfall into the scene for property_params
+                want = scene["num_x"] * scene["num_z"]
+                scene["truncated_granules"] = int(want - len(members))
                 full = True
                 break
             idx0 = sum(len(p) for p in all_pts)
@@ -382,6 +389,12 @@ def build_scene(material: str, rng: np.random.RandomState, shapes: ShapeSet | No
         scene.update(scene_overrides)
     particles, spec, n_active = _BUILDERS[material](scene, rng, caps)
     spec = attach_incidence(spec, caps.n)
+    # capacity-cap truncations are part of the episode's ground truth:
+    # stamp them into property_params so preprocessing/training can see
+    # the scene-distribution shift (VERDICT r1 weak #6)
+    for key in ("truncated_particles", "truncated_granules"):
+        if key in scene:
+            props[key] = scene[key]
     if shapes is None:
         from adaptigraph_tpu.engine.state import SHAPE_PLANE, make_shapes
 

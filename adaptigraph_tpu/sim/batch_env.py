@@ -8,12 +8,14 @@ host-side per seed (same material -> same pytree shapes), stacked, and the
 whole chunk scan vmaps over the leading env axis. One chip simulates the
 whole worker pool's load per dispatch; across hosts, split the seed range.
 
-Differences from the single-env driver, by design:
-  * the action-validity gate uses particle displacement (the direct signal)
-    instead of the rendered color difference (its proxy, data_gen.py:86-94),
-    so validity needs no renders; invalid pushes are skipped per-env rather
-    than retried in lockstep;
-  * captures land on CHUNK boundaries exactly like SimEnv.
+Batched episodes keep SINGLE-ENV SEMANTICS: each env's push is planned by
+`SimEnv.plan_push` (same waypoints, gripper gap/attach schedule, IK-tracked
+arm links), the vmapped scan body is the same one the single env runs,
+captures use the same contact-gated cadence (`SimEnv._capture_push`), and
+invalid pushes retry per env (up to 10 like data_gen.py:86-94) with the
+other envs holding a parked no-op — the same "state keeps settling between
+attempts" behavior the reference's sequential retry produces. The validity
+gate itself uses the reference's rendered color-difference rule.
 
 Usage:
   python -m adaptigraph_tpu.sim.batch_env --config data_gen/rope \
@@ -25,6 +27,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -34,6 +37,8 @@ from adaptigraph_tpu.engine import xpbd_step
 from adaptigraph_tpu.sim.env import CHUNK, SimEnv
 from adaptigraph_tpu.sim.episode_io import save_property_params, store_data
 from adaptigraph_tpu.utils import load_config
+
+MAX_RETRY = 10  # data_gen.py:86-94
 
 
 class BatchSimEnv:
@@ -49,6 +54,7 @@ class BatchSimEnv:
             env.reset(seed=int(seed), save_data=False)
         e0 = self.envs[0]
         self.substeps, self.iterations = e0.substeps, e0.iterations
+        self._align_incidence()
         self.states = jax.tree.map(lambda *x: jnp.stack(x),
                                    *[e.state for e in self.envs])
         self.specs = jax.tree.map(lambda *x: jnp.stack(x),
@@ -56,107 +62,186 @@ class BatchSimEnv:
         if self._vmapped is None:
             self._compile()
 
+    def _align_incidence(self):
+        """Incidence tables are degree-sized per scene (max constraint
+        overlap varies with the sampled physics); rebuild every env's tables
+        at the batch-wide max degree so specs stack into one vmapped
+        pytree."""
+        from adaptigraph_tpu.engine.state import (
+            build_cluster_incidence, build_spring_incidence)
+
+        specs = [e.spec for e in self.envs]
+        d_c = max((s.cluster_inc.idx.shape[1] for s in specs
+                   if s.cluster_inc is not None), default=0)
+        d_s = max((s.spring_inc.idx.shape[1] for s in specs
+                   if s.spring_inc is not None), default=0)
+        for env in self.envs:
+            s = env.spec
+            n = s.rest_pos.shape[0]
+            if s.cluster_inc is not None and s.cluster_inc.idx.shape[1] != d_c:
+                s = s._replace(cluster_inc=build_cluster_incidence(
+                    s.clusters, n, d_max=d_c))
+            if s.spring_inc is not None and s.spring_inc.idx.shape[1] != d_s:
+                s = s._replace(spring_inc=build_spring_incidence(
+                    s.springs, n, d_max=d_s))
+            env.spec = s
+
     def _compile(self):
         e0 = self.envs[0]
         substeps, iterations = self.substeps, self.iterations
         tool_slot0, n_tool = e0.tool_slot0, e0.n_tool
+        arm_slot0, n_arm = e0.arm_slot0, e0.n_arm
 
-        def one_step(st, inp, spec):
-            eef, rot = inp
-            tp, tq = e0._tool_pose_arrays(eef, rot, jnp.float32(0.4))
+        def one_step(st, inp, spec, attach_idx, attach_rel):
+            # identical body to SimEnv._compile_push's one_step
+            eef, rot, gap, att_on, lp, lq = inp
+            tp, tq = e0._tool_pose_arrays(eef, rot, gap)
             new_pos = st.shapes.pos.at[tool_slot0: tool_slot0 + n_tool].set(tp)
             new_quat = st.shapes.quat.at[tool_slot0: tool_slot0 + n_tool].set(tq)
+            if n_arm:
+                new_pos = new_pos.at[arm_slot0: arm_slot0 + n_arm].set(lp)
+                new_quat = new_quat.at[arm_slot0: arm_slot0 + n_arm].set(lq)
             st = st._replace(shapes=st.shapes.moved_to(new_pos, new_quat))
+            p = st.particles
+            on = att_on > 0
+            apos = eef[None, :] + (rot @ attach_rel.T).T
+            cur = p.pos[attach_idx]
+            tgt = jnp.where(on, apos, cur)
+            pos2 = p.pos.at[attach_idx].set(tgt)
+            w2 = p.inv_mass.at[attach_idx].set(
+                jnp.where(on, 0.0, p.inv_mass[attach_idx]))
+            st = st._replace(particles=p._replace(pos=pos2, inv_mass=w2))
             st = xpbd_step(st, spec, substeps, iterations)
             return st, None
 
-        def run_group(state, spec, eefs, rots):
+        def run_group(state, spec, eefs, rots, gaps, atts, lps, lqs,
+                      attach_idx, attach_rel):
             def one_chunk(st, inp):
-                st, _ = jax.lax.scan(lambda s, i: one_step(s, i, spec), st, inp)
+                st, _ = jax.lax.scan(
+                    lambda s, i: one_step(s, i, spec, attach_idx, attach_rel),
+                    st, inp)
                 return st, st.particles.pos
 
-            st, rec = jax.lax.scan(one_chunk, state, (eefs, rots))
-            return st, rec
+            st, rec = jax.lax.scan(one_chunk, state,
+                                   (eefs, rots, gaps, atts, lps, lqs))
+            return st, rec, jnp.isnan(st.particles.pos[:, 0]).any()
 
-        self._vmapped = jax.jit(jax.vmap(run_group, in_axes=(0, 0, 0, 0)))
+        self._vmapped = jax.jit(jax.vmap(run_group))
 
     def run_pushes(self, actions, group: int = 8):
         """Execute one push per env (lockstep). actions: (B, 4) in the action
-        frame; None entries hold the env still. Returns per-env chunk-boundary
-        particle records + eef poses."""
+        frame; None entries hold the env still (parked no-op). Returns
+        (pos_rec (B, C, N, 3), plans, nan_flags (B,))."""
         b = self.batch
         e0 = self.envs[0]
-        trajs, rots, n_chunks = [], [], []
+        plans = []
         for env, act in zip(self.envs, actions):
             if act is None:
-                act = np.array([3.9, 3.9, 3.95, 3.95])  # far corner no-op
-            eef_flex, rot_traj, t_push = _build_traj(env, act)
-            trajs.append(eef_flex)
-            rots.append(rot_traj)
-            n_chunks.append(-(-(t_push + env.settle_steps) // CHUNK))
-        n_active = min(max(n_chunks), e0.max_chunks)
+                # parked no-op: tool far above the workspace, zero contact
+                plan = env.plan_push(np.array([3.9, 3.9, 3.95, 3.95]))
+                plan["eef"] = plan["eef"] + np.array([0, 19.0, 0], np.float32)
+                # a parked env must not grasp anything
+                plan["attach_active"] = np.zeros_like(plan["attach_active"])
+                plan["gap"] = np.full_like(plan["gap"], 0.4)
+                if plan["link_pos"] is not None:
+                    plan["link_pos"] = np.tile(env._rest_link_pos[None],
+                                               (len(plan["eef"]), 1, 1))
+                    plan["link_quat"] = np.tile(env._rest_link_quat[None],
+                                                (len(plan["eef"]), 1, 1))
+                plan["t_push"] = 0
+                plans.append(plan)
+            else:
+                plans.append(env.plan_push(act))
+        n_active = min(max(-(-(p["t_push"] + e0.settle_steps) // CHUNK)
+                           for p in plans), e0.max_chunks)
         total = n_active * CHUNK
-        eefs = np.stack([_pad_traj(t, total) for t in trajs])
-        rotm = np.stack([_pad_traj(r, total) for r in rots])
-        eefs = eefs.reshape(b, n_active, CHUNK, 3)
-        rotm = rotm.reshape(b, n_active, CHUNK, 3, 3)
+        n_arm = e0.n_arm
+
+        def stack(key, shape_tail):
+            out = []
+            for p in plans:
+                a = p[key]
+                if a is None:
+                    a = np.zeros((total,) + shape_tail, np.float32)
+                out.append(a[:total])
+            return np.stack(out)
+
+        eefs = stack("eef", (3,)).reshape(b, n_active, CHUNK, 3)
+        rots = stack("rot", (3, 3)).reshape(b, n_active, CHUNK, 3, 3)
+        gaps = stack("gap", ()).reshape(b, n_active, CHUNK)
+        atts = stack("attach_active", ()).reshape(b, n_active, CHUNK)
+        lps = stack("link_pos", (n_arm, 3)).reshape(b, n_active, CHUNK, n_arm, 3)
+        lqs = stack("link_quat", (n_arm, 4)).reshape(b, n_active, CHUNK, n_arm, 4)
+        aidx = np.stack([p["attach_idx"] for p in plans])
+        arel = np.stack([p["attach_rel"] for p in plans])
 
         recs = []
+        nan_any = np.zeros(b, bool)
         for lo in range(0, n_active, group):
             hi = min(lo + group, n_active)
-            self.states, rec = self._vmapped(
+            self.states, rec, nan = self._vmapped(
                 self.states, self.specs, jnp.array(eefs[:, lo:hi]),
-                jnp.array(rotm[:, lo:hi]))
+                jnp.array(rots[:, lo:hi]), jnp.array(gaps[:, lo:hi]),
+                jnp.array(atts[:, lo:hi]), jnp.array(lps[:, lo:hi]),
+                jnp.array(lqs[:, lo:hi]), jnp.array(aidx), jnp.array(arel))
             recs.append(np.asarray(rec))
+            nan_any |= np.asarray(nan)
         pos_rec = np.concatenate(recs, axis=1)  # (B, n_active, N, 3)
-        eef_rec = eefs[:, :, -1]
-        rot_rec = rotm[:, :, -1]
-        # push states back into the per-env objects
+
+        # per-env bookkeeping mirroring SimEnv._push_fn + gripper restore
         for i, env in enumerate(self.envs):
             env.state = jax.tree.map(lambda x: x[i], self.states)
-        return pos_rec, eef_rec, rot_rec
+            if env.gripper and actions[i] is not None:
+                w = env.state.particles.inv_mass.at[jnp.array(aidx[i])].set(
+                    jnp.array(env._inv_mass0[aidx[i]]))
+                env.state = env.state._replace(
+                    particles=env.state.particles._replace(inv_mass=w))
+            env._gap_rec = gaps[i, :, -1]
+            env._link_rec = (lps[i, :, -1], lqs[i, :, -1])
+            env._pad_recs = (eefs[i, :, -1], rots[i, :, -1])
+        return pos_rec, plans, nan_any
+
+    def capture(self, i, pos_rec, plans, data):
+        """Contact-gated capture for env i — the same cadence rule as the
+        single env (SimEnv._capture_push at n_active-chunk scale)."""
+        env = self.envs[i]
+        eef_rec, rot_rec = env._pad_recs
+        n_c = pos_rec.shape[1]
+        pads = env.max_chunks - n_c
+        pr = np.concatenate([pos_rec[i], np.repeat(pos_rec[i, -1:], pads, 0)]) \
+            if pads else pos_rec[i]
+        er = np.concatenate([eef_rec, np.repeat(eef_rec[-1:], pads, 0)]) \
+            if pads else eef_rec
+        rr = np.concatenate([rot_rec, np.repeat(rot_rec[-1:], pads, 0)]) \
+            if pads else rot_rec
+        env._gap_rec = np.concatenate(
+            [env._gap_rec, np.repeat(env._gap_rec[-1:], pads, 0)]) \
+            if pads else env._gap_rec
+        lp, lq = env._link_rec
+        if pads:
+            env._link_rec = (np.concatenate([lp, np.repeat(lp[-1:], pads, 0)]),
+                             np.concatenate([lq, np.repeat(lq[-1:], pads, 0)]))
+        env._capture_push(data, pr, er, rr, plans[i]["t_push"])
 
 
-def _build_traj(env: SimEnv, action):
-    """Waypoint-interpolated eef trajectory for one push (SimEnv.step logic)."""
-    h = env.wkspace_height + env.stick_len
-    s = np.array([action[0], action[1], h])
-    e = np.array([action[2], action[3], h])
-    d = s[:2] - e[:2]
-    pusher_angle = np.pi / 2 if d[0] == 0 else np.arctan(d[1] / d[0])
-    wps = [s + [0, 0, 0.2], s, e, e + [0, 0, 0.2]]
-    pts = []
-    for i_p in range(len(wps) - 1):
-        a, b = wps[i_p], wps[i_p + 1]
-        steps = int(np.linalg.norm(b - a) / env.speed) + 1
-        for i in range(steps):
-            pts.append(a + (b - a) * i / steps)
-    traj = np.array(pts, np.float32)
-    t_push = len(traj)
-    eef_flex = np.stack([traj[:, 0], traj[:, 2], -traj[:, 1]], 1)
-    from adaptigraph_tpu.sim.robot import pusher_orientation
-
-    rot = np.asarray(pusher_orientation(jnp.float32(pusher_angle)))
-    rot_traj = np.tile(rot[None], (t_push, 1, 1)).astype(np.float32)
-    return eef_flex, rot_traj, t_push
+def color_diff_valid(env, img_before, img_after, thresh=0.03):
+    """The reference's action-validity gate: mean image change across the
+    capture view (data_gen.py:86-94's color_diff rule)."""
+    d = np.abs(img_after[..., :3].astype(np.float32)
+               - img_before[..., :3].astype(np.float32))
+    return float(d.mean()) > thresh
 
 
-def _pad_traj(t, total):
-    if len(t) >= total:
-        return t[:total]
-    return np.concatenate([t, np.tile(t[-1:], (total - len(t),) + (1,) * (t.ndim - 1))])
-
-
-def generate_batch(config, seeds, out_dir, n_timestep=None, render_every_capture=True):
-    """Generate len(seeds) episodes in lockstep batches."""
+def generate_batch(config, seeds, out_dir, n_timestep=None):
+    """Generate len(seeds) episodes in lockstep batches with per-env retry."""
     d = config["dataset"]
     obj = d["obj"]
     n_timestep = n_timestep or int(d["n_timestep"])
     benv = BatchSimEnv(config, batch=len(seeds))
     benv.reset(seeds)
     t0 = time.time()
-    # per-env episode recorders
     all_data = [([], [], []) for _ in seeds]
+    grasp_state = [None] * len(seeds)  # cloth boundary bookkeeping
     for i, env in enumerate(benv.envs):
         epi_dir = os.path.join(out_dir, obj, f"{int(seeds[i]):06}")
         os.makedirs(epi_dir, exist_ok=True)
@@ -168,28 +253,45 @@ def generate_batch(config, seeds, out_dir, n_timestep=None, render_every_capture
     np.save(os.path.join(cam_dir, "intrinsic.npy"), benv.envs[0].cam_intrinsic_params)
     np.save(os.path.join(cam_dir, "extrinsic.npy"), benv.envs[0].cam_extrinsic_matrix)
 
+    def sample(i):
+        env = benv.envs[i]
+        if obj == "cloth":
+            init = grasp_state[i] is None
+            bp, bd = (None, None) if init else grasp_state[i]
+            act, bp, bd = env.sample_grasp_actions_corner(init, bp, bd)
+            grasp_state[i] = (bp, bd)
+            return act
+        return env.sample_action()
+
     for t in range(n_timestep):
-        actions = [env.sample_action() for env in benv.envs]
-        pos_rec, eef_rec, rot_rec = benv.run_pushes(actions)
-        for i, env in enumerate(benv.envs):
-            if actions[i] is None:
-                continue
-            before = pos_rec[i, 0][: env.n_active]
-            after = pos_rec[i, -1][: env.n_active]
-            moved = np.linalg.norm(after - before, axis=1).max()
-            if moved < 0.02:  # displacement validity gate
-                continue
-            data = ([], [], [])
-            env._eef_prev = None
-            n_c = pos_rec.shape[1]
-            for ci in range(n_c):
-                if (ci + 1) % max(1, env.contact_interval // CHUNK) == 0 or ci == n_c - 1:
-                    env._store(data, particles=pos_rec[i, ci],
-                               store_tool_pose=(jnp.array(eef_rec[i, ci]),
-                                                jnp.array(rot_rec[i, ci])))
-            epi_dir = os.path.join(out_dir, obj, f"{int(seeds[i]):06}")
-            store_data(os.path.join(epi_dir, f"{t + 1:02}.h5"), data, actions[i])
-        print(f"push {t + 1}/{n_timestep} done ({time.time() - t0:.0f}s)", flush=True)
+        pending = list(range(len(seeds)))
+        stored = [False] * len(seeds)
+        before = [env.render() for env in benv.envs]
+        for attempt in range(MAX_RETRY):
+            if not pending:
+                break
+            actions = [sample(i) if i in pending else None
+                       for i in range(len(seeds))]
+            pos_rec, plans, nan_any = benv.run_pushes(actions)
+            next_pending = []
+            for i in pending:
+                if actions[i] is None or nan_any[i]:
+                    next_pending.append(i)
+                    continue
+                after = benv.envs[i].render()
+                if not color_diff_valid(benv.envs[i], before[i], after):
+                    next_pending.append(i)  # retry with a fresh action
+                    continue
+                data = ([], [], [])
+                benv.envs[i]._eef_prev = None
+                benv.capture(i, pos_rec, plans, data)
+                epi_dir = os.path.join(out_dir, obj, f"{int(seeds[i]):06}")
+                store_data(os.path.join(epi_dir, f"{t + 1:02}.h5"), data,
+                           actions[i])
+                stored[i] = True
+            pending = next_pending
+        print(f"push {t + 1}/{n_timestep}: {sum(stored)}/{len(seeds)} valid "
+              f"({time.time() - t0:.0f}s)", flush=True)
     return benv
 
 

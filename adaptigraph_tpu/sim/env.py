@@ -351,10 +351,12 @@ class SimEnv:
 
     # ---------- step ----------
 
-    def step(self, action, save_data: bool = False, data=None):
-        """Execute one push. Returns (obs_img, data) or None on explosion."""
-        if data is None:
-            data = ([], [], [])
+    def plan_push(self, action):
+        """Host-side push planning: decode the 4-dof action into per-step
+        arrays (eef / tool rotation / gripper gap / attachment / arm link
+        poses). Shared verbatim by the single-env `step` and the vmapped
+        `BatchSimEnv` so batched episodes keep single-env semantics.
+        Returns a dict of (total,)-leading arrays + scalars."""
         h = self.wkspace_height + self.stick_len
         s = np.array([action[0], action[1], h])  # (x, z_action, height)
         e = np.array([action[2], action[3], h])
@@ -423,7 +425,9 @@ class SimEnv:
         attach_rel = np.zeros((10, 3), np.float32)
         if self.gripper:
             grasp_t = int(np.nonzero(seg_id >= 1)[0][0]) if (seg_id >= 1).any() else 0
-            close_t = min(grasp_t + 50, total)
+            # close over 50 frames but never past the push end, else short
+            # pushes would finish before the attachment ever activates
+            close_t = min(grasp_t + 50, total, max(t_push - 1, grasp_t + 1))
             gap_traj[grasp_t:close_t] = np.linspace(0.4, 0.05, close_t - grasp_t)
             gap_traj[close_t:t_push] = 0.05
             release_t = t_push
@@ -435,14 +439,28 @@ class SimEnv:
             attach_idx = np.concatenate([near, near]).astype(np.int64)[:10]
             # offsets in tool frame: from eef to the particle at grasp time
             eef0 = eef_flex[grasp_t]
-            attach_rel = ((pts[attach_idx % self.n_active] - eef0) @ rot).astype(np.float32)
+            attach_rel = ((pts[attach_idx % self.n_active] - eef0)
+                          @ rot_traj[grasp_t]).astype(np.float32)
 
+        return {"eef": eef_flex.astype(np.float32), "rot": rot_traj,
+                "gap": gap_traj, "attach_active": attach_active,
+                "attach_idx": attach_idx, "attach_rel": attach_rel,
+                "link_pos": lp_traj, "link_quat": lq_traj, "t_push": t_push}
+
+    def step(self, action, save_data: bool = False, data=None):
+        """Execute one push. Returns (obs_img, data) or None on explosion."""
+        if data is None:
+            data = ([], [], [])
+        plan = self.plan_push(action)
+        t_push = plan["t_push"]
+        attach_idx = plan["attach_idx"]
         n_chunks_active = min(-(-(t_push + self.settle_steps) // CHUNK),
                               self.max_chunks)
         st, pos_rec, eef_rec, rot_rec, nan_rec = self._push_fn(
-            self.state, self.spec, eef_flex, rot_traj, gap_traj, attach_idx,
-            attach_rel, attach_active, n_chunks_active=n_chunks_active,
-            link_pos_traj=lp_traj, link_quat_traj=lq_traj)
+            self.state, self.spec, plan["eef"], plan["rot"], plan["gap"],
+            attach_idx, plan["attach_rel"], plan["attach_active"],
+            n_chunks_active=n_chunks_active,
+            link_pos_traj=plan["link_pos"], link_quat_traj=plan["link_quat"])
 
         if bool(np.asarray(nan_rec).any()):
             print("simulator exploded when action is", action)

@@ -51,12 +51,17 @@ def store_data(filename: str, data, action: np.ndarray):
 
 
 def save_data(filename: str, episode: dict):
+    # image stacks are gzip-chunked (rendered frames compress 10-20x; the
+    # reference writes raw h5, data.py:53-65, but at 1000 episodes/material
+    # the uncompressed form is ~1 GB/episode). Same keys/dtypes either way.
     with h5py.File(filename, "w") as f:
         for key, value in episode.items():
             if key == "observations":
                 for sub, d in value.items():
                     for cam, arr in d.items():
-                        f.create_dataset(f"{key}/{sub}/{cam}", data=arr)
+                        f.create_dataset(f"{key}/{sub}/{cam}", data=arr,
+                                         compression="gzip", compression_opts=4,
+                                         chunks=(1,) + arr.shape[1:])
             elif key == "info":
                 for sub, v in value.items():
                     f.create_dataset(f"{key}/{sub}", data=v)

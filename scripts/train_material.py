@@ -1,0 +1,37 @@
+"""Real-scale per-material pipeline on TPU: preprocess -> train -> rollout.
+
+Usage: train_material.py [material] [epochs] [iters] [batch]
+"""
+import sys, time, os
+sys.path.insert(0, '/root/repo')
+import numpy as np
+
+from adaptigraph_tpu.utils import load_config
+
+MATERIAL = sys.argv[1] if len(sys.argv) > 1 else 'rope'
+EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+BATCH = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+
+cfg = load_config(f'dynamics/{MATERIAL}')
+cfg['dataset_config']['data_dir'] = '/root/repo/data/sim_data'
+cfg['dataset_config']['prep_data_dir'] = '/root/repo/data/preprocess'
+cfg['dataset_config']['ratio'] = {'train': [0, 0.75], 'valid': [0.75, 1]}
+cfg['train_config']['out_dir'] = '/root/repo/data/log'
+cfg['rollout_config']['out_dir'] = '/root/repo/data/rollout'
+
+t0 = time.time()
+if not os.path.exists(f'/root/repo/data/preprocess/{MATERIAL}/positions.pkl'):
+    from adaptigraph_tpu.dynamics.preprocess import preprocess
+    preprocess(cfg)
+    print(f"[{time.time()-t0:.0f}s] preprocess done", flush=True)
+
+from adaptigraph_tpu.dynamics.train import train
+params, history = train(cfg, epochs=EPOCHS, iters=ITERS, batch_size=BATCH)
+print(f"[{time.time()-t0:.0f}s] train done: {history['train']}", flush=True)
+
+from adaptigraph_tpu.dynamics.rollout import rollout
+errors = rollout(cfg, ckpt='latest', rollout_steps=20)
+finals = [e[-1] for e in errors if e]
+print(f"[{time.time()-t0:.0f}s] rollout: {len(errors)} pushes, "
+      f"mean final err {np.mean(finals):.4f}", flush=True)

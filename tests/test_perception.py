@@ -87,3 +87,92 @@ class TestStateExtraction:
         # keypoints lie near the object cloud
         d = np.linalg.norm(state[:, None] - pts[None], axis=-1).min(1)
         assert np.quantile(d, 0.9) < 0.3
+
+
+class TestGroundingSAMSeam:
+    """Interface-contract test of the open-vocab segmentation pipeline with
+    injected fakes (the real weights are env-gated; perception.py:24-148)."""
+
+    def _fake_pipeline(self, h=32, w=32):
+        # two overlapping detections of the object + one table detection
+        obj_mask = np.zeros((h, w), bool)
+        obj_mask[8:20, 10:22] = True
+        obj_mask_dup = np.zeros((h, w), bool)
+        obj_mask_dup[8:20, 10:21] = True  # ~0.92 IoU duplicate
+        table_mask = np.zeros((h, w), bool)
+        table_mask[20:, :] = True
+
+        boxes = np.array([[10, 8, 22, 20], [10, 8, 21, 20], [0, 20, 32, 32]],
+                         np.float32)
+        scores = np.array([0.9, 0.8, 0.95], np.float32)
+        phrases = ["deformable object", "deformable object", "table"]
+        masks = {0: obj_mask, 1: obj_mask_dup, 2: table_mask}
+
+        calls = {"set_image": 0}
+
+        def detector(rgb):
+            assert rgb.dtype == np.uint8
+            return boxes, scores, phrases
+
+        class Pred:
+            def set_image(self, rgb):
+                calls["set_image"] += 1
+
+            def predict(self, box):
+                for i, b in enumerate(boxes):
+                    if np.allclose(box, b):
+                        return masks[i]
+                raise AssertionError("unknown box")
+
+        return detector, Pred(), obj_mask, table_mask, calls
+
+    def test_union_excludes_table_and_dedupes(self):
+        from adaptigraph_tpu.planning.segmentation import GroundingSAMSegmenter
+
+        det, pred, obj_mask, table_mask, calls = self._fake_pipeline()
+        seg = GroundingSAMSegmenter(det, pred, prompts=("deformable object",),
+                                    table_prompts=("table",))
+        depth = np.ones((32, 32), np.float32)
+        out = seg(np.zeros((32, 32, 3), np.uint8), depth, 0.5,
+                  np.array([30.0, 30, 16, 16]), np.eye(4))
+        assert calls["set_image"] == 1
+        assert (out == obj_mask).all()  # table excluded, duplicate merged
+        # depth-invalid pixels never survive
+        depth2 = depth.copy()
+        depth2[8:10] = 0.0
+        out2 = seg(np.zeros((32, 32, 3), np.uint8), depth2, 0.5,
+                   np.array([30.0, 30, 16, 16]), np.eye(4))
+        assert not out2[8:10].any() and out2[10:20, 10:22].any()
+
+    def test_box_threshold_filters(self):
+        from adaptigraph_tpu.planning.segmentation import GroundingSAMSegmenter
+
+        det, pred, *_ = self._fake_pipeline()
+        seg = GroundingSAMSegmenter(det, pred, box_threshold=0.99)
+        out = seg(np.zeros((32, 32, 3), np.uint8), np.ones((32, 32), np.float32),
+                  0.5, np.array([30.0, 30, 16, 16]), np.eye(4))
+        assert not out.any()  # every detection below threshold
+
+    def test_iou_dedupe_rule(self):
+        from adaptigraph_tpu.planning.segmentation import iou_dedupe
+
+        a = np.zeros((8, 8), bool); a[:4] = True
+        b = a.copy()
+        c = ~a
+        keep = iou_dedupe([a, b, c], [0.5, 0.9, 0.7], iou_thresh=0.9)
+        assert set(keep) == {1, 2} and keep[0] == 1  # best-first, dup dropped
+
+    def test_plugs_into_perception_module(self):
+        from adaptigraph_tpu.planning.perception import PerceptionModule
+        from adaptigraph_tpu.planning.segmentation import GroundingSAMSegmenter
+
+        det, pred, *_ = self._fake_pipeline()
+        seg = GroundingSAMSegmenter(det, pred)
+        pm = PerceptionModule({"fps_radius": 0.05, "max_nobj": 20},
+                              segmenter=seg)
+        depth = np.full((32, 32), 2.0, np.float32)
+        intr = np.array([30.0, 30.0, 16.0, 16.0])
+        extr = np.eye(4)
+        pts = pm.get_tabletop_points([np.zeros((32, 32, 3), np.uint8)],
+                                     [depth], [intr], [extr])
+        assert pts.ndim == 2 and pts.shape[1] == 3

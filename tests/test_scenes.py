@@ -75,12 +75,16 @@ class TestBuilders:
     def test_cloth_structure(self):
         b = build_scene("cloth", np.random.RandomState(1))
         assert b.n_active == 4900
-        n_springs = int(np.asarray(b.spec.springs.valid).sum())
+        # springs live as static-offset families (attach_incidence converts
+        # the grid topology; leftover irregular set must be empty)
+        os_ = b.spec.offset_springs
+        assert os_ is not None and int(np.asarray(b.spec.springs.valid).sum()) == 0
+        n_springs = int(np.asarray(os_.valid).sum())
         # 2 axes x (stretch 70*69 + bend 70*68) + shear 2*69*69
         assert n_springs == 2 * (70 * 69) + 2 * (70 * 68) + 2 * 69 * 69
         assert (b.substeps, b.iterations) == (4, 50)
         # spring rests: stretch=r, shear=sqrt(2) r, bend=2r
-        rest = np.asarray(b.spec.springs.rest)[:n_springs]
+        rest = np.asarray(os_.rest)[np.asarray(os_.valid)]
         uniq = np.unique(np.round(rest, 5))
         want = np.array([0.03, 0.03 * np.sqrt(2), 0.06])
         np.testing.assert_allclose(np.sort(uniq), np.sort(want), atol=1e-5)
@@ -141,3 +145,29 @@ class TestBuilders:
         b2 = build_scene("rope", np.random.RandomState(7))
         np.testing.assert_array_equal(np.asarray(b1.state.particles.pos),
                                       np.asarray(b2.state.particles.pos))
+
+
+def test_truncation_stamped_into_props():
+    """Capacity-cap truncations must be recorded in property_params
+    (episode physics labels) so the data distribution shift is visible
+    downstream (scenes/build.py rope tail-slice drop + granular grid cap)."""
+    import numpy as np
+    from adaptigraph_tpu.scenes import build_scene
+    from adaptigraph_tpu.scenes.build import MATERIAL_CAPS, Caps
+
+    rng = np.random.RandomState(0)
+    small = MATERIAL_CAPS["rope"]._replace(n=512)
+    b = build_scene("rope", rng, caps=small)
+    assert b.props.get("truncated_particles", 0) > 0
+    assert b.n_active == 512
+
+    rng = np.random.RandomState(0)
+    gsmall = MATERIAL_CAPS["granular"]._replace(n=1024, c=600)
+    g = build_scene("granular", rng, caps=gsmall)
+    assert g.props.get("truncated_granules", 0) > 0
+
+    # an uncapped build must NOT carry the keys
+    rng = np.random.RandomState(1)
+    full = build_scene("rope", rng)
+    assert "truncated_particles" not in full.props or \
+        full.props["truncated_particles"] == 0

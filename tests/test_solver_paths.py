@@ -129,14 +129,35 @@ def test_incidence_gather_matches_scatter_paths():
     """Spring/cluster passes via the precomputed incidence tables (gather
     only) must reproduce the scatter-add formulation exactly (same pair
     terms, different reduction order -> tight tolerance over 15 frames)."""
-    from adaptigraph_tpu.scenes.build import attach_incidence
+    from adaptigraph_tpu.engine.state import (
+        build_cluster_incidence, build_spring_incidence)
 
     st_a, spec = _spring_cluster_scene()
-    spec_inc = attach_incidence(spec, spec.rest_pos.shape[0])
-    assert spec_inc.spring_inc is not None and spec_inc.cluster_inc is not None
+    n = spec.rest_pos.shape[0]
+    spec_inc = spec._replace(
+        spring_inc=build_spring_incidence(spec.springs, n),
+        cluster_inc=build_cluster_incidence(spec.clusters, n))
     st_b = st_a
     for _ in range(15):
         st_a = xpbd_step(st_a, spec, substeps=2, iterations=4)
         st_b = xpbd_step(st_b, spec_inc, substeps=2, iterations=4)
+    np.testing.assert_allclose(np.asarray(st_a.particles.pos),
+                               np.asarray(st_b.particles.pos), atol=2e-5)
+
+
+def test_offset_family_conversion_matches_spring_list():
+    """attach_incidence's offset-family conversion (the gather-free spring
+    pass) must not change trajectories vs the raw spring-list formulation."""
+    from adaptigraph_tpu.scenes.build import attach_incidence
+
+    st_a, spec = _spring_cluster_scene()
+    n = spec.rest_pos.shape[0]
+    spec_c = attach_incidence(spec, n)
+    assert spec_c.offset_springs is not None  # the chain converts fully
+    assert int(np.asarray(spec_c.springs.valid).sum()) == 0
+    st_b = st_a
+    for _ in range(15):
+        st_a = xpbd_step(st_a, spec, substeps=2, iterations=4)
+        st_b = xpbd_step(st_b, spec_c, substeps=2, iterations=4)
     np.testing.assert_allclose(np.asarray(st_a.particles.pos),
                                np.asarray(st_b.particles.pos), atol=2e-5)
