@@ -51,7 +51,7 @@ class BatchSimEnv:
 
     def reset(self, seeds):
         for env, seed in zip(self.envs, seeds):
-            env.reset(seed=int(seed), save_data=False)
+            env.reset(seed=int(seed), save_data=False, settle=False)
         e0 = self.envs[0]
         self.substeps, self.iterations = e0.substeps, e0.iterations
         self._align_incidence()
@@ -61,6 +61,12 @@ class BatchSimEnv:
                                   *[e.spec for e in self.envs])
         if self._vmapped is None:
             self._compile()
+        # settle every env in ONE vmapped program (the single env settles
+        # per reset, flex_env.py:246-247): a parked no-op push covers
+        # exactly ceil(settle_steps / CHUNK) chunks
+        self.run_pushes([None] * self.batch)
+        for env in self.envs:
+            env.finish_reset(save_data=False)
 
     def _align_incidence(self):
         """Incidence tables are degree-sized per scene (max constraint
@@ -201,6 +207,27 @@ class BatchSimEnv:
             env._pad_recs = (eefs[i, :, -1], rots[i, :, -1])
         return pos_rec, plans, nan_any
 
+    def render_all(self):
+        """One capture-view frame per env in a single device program
+        (the validity gate renders before/after every attempt; per-env
+        dispatches at tunnel latency would dominate)."""
+        from adaptigraph_tpu.sim.env import _fwd_from_angle
+        from adaptigraph_tpu.sim.render import render_frames_batch
+
+        e0 = self.envs[0]
+        H, W = e0.screen
+        cam_pos, ang = e0.camera.single_view(e0.camera_view)
+        fwd = _fwd_from_angle(ang)
+        shapes0 = jax.tree.map(lambda x: x[0], self.states.shapes)
+        imgs = render_frames_batch(
+            self.states.particles.pos, jnp.asarray(e0.colors),
+            self.states.particles.active, shapes0,
+            self.states.shapes.pos, self.states.shapes.quat,
+            jnp.asarray(np.asarray(cam_pos, np.float32))[None],
+            jnp.asarray(fwd)[None], jnp.asarray(e0.camera.intrinsics()),
+            width=W, height=H)
+        return np.asarray(imgs)[:, 0]
+
     def capture(self, i, pos_rec, plans, data):
         """Contact-gated capture for env i — the same cadence rule as the
         single env (SimEnv._capture_push at n_active-chunk scale)."""
@@ -266,20 +293,20 @@ def generate_batch(config, seeds, out_dir, n_timestep=None):
     for t in range(n_timestep):
         pending = list(range(len(seeds)))
         stored = [False] * len(seeds)
-        before = [env.render() for env in benv.envs]
+        before = benv.render_all()
         for attempt in range(MAX_RETRY):
             if not pending:
                 break
             actions = [sample(i) if i in pending else None
                        for i in range(len(seeds))]
             pos_rec, plans, nan_any = benv.run_pushes(actions)
+            after_all = benv.render_all()
             next_pending = []
             for i in pending:
                 if actions[i] is None or nan_any[i]:
                     next_pending.append(i)
                     continue
-                after = benv.envs[i].render()
-                if not color_diff_valid(benv.envs[i], before[i], after):
+                if not color_diff_valid(benv.envs[i], before[i], after_all[i]):
                     next_pending.append(i)  # retry with a fresh action
                     continue
                 data = ([], [], [])

@@ -189,7 +189,10 @@ class SimEnv:
 
     # ---------- reset ----------
 
-    def reset(self, seed: int = 0, save_data: bool = False):
+    def reset(self, seed: int = 0, save_data: bool = False, settle: bool = True):
+        """Build + settle a fresh scene. `settle=False` skips the on-device
+        settle phase (BatchSimEnv settles all envs in ONE vmapped program
+        and then calls `finish_reset`)."""
         rng = np.random.RandomState(seed)
         self.rng = np.random.RandomState(seed + 1000003)
         self._q_cur = self._q_rest.copy()
@@ -207,6 +210,8 @@ class SimEnv:
         self._eef_prev = None
         if self._group_fn is None:
             self._compile_push()
+        if not settle:
+            return None
 
         # settle 200 frames (flex_env.py:246-247), dispatched in chunk groups:
         # long-running single programs can trip the remote worker's watchdog
@@ -222,12 +227,15 @@ class SimEnv:
             np.zeros(total, np.float32), n_chunks_active=n_set,
             max_chunks_override=n_set)
         self.state = st
+        return self.finish_reset(save_data=save_data)
 
+    def finish_reset(self, save_data: bool = False):
+        """Post-settle bookkeeping: FPS storage indices + camera params."""
         # FPS subsample indices for storage (flex_env.py:171-173)
         if self.fps:
             from adaptigraph_tpu.utils.host_fps import fps_with_idx
 
-            pts = np.asarray(st.particles.pos)[: self.n_active]
+            pts = np.asarray(self.state.particles.pos)[: self.n_active]
             _, self.sampled_idx = fps_with_idx(pts, self.fps_number)
         else:
             self.sampled_idx = np.arange(self.n_active)
@@ -483,6 +491,7 @@ class SimEnv:
         frames (flex_env.py:369-376 semantics at CHUNK granularity)."""
         n_chunks_active = min((t_push + CHUNK - 1) // CHUNK, self.max_chunks)
         self._cap_eef, self._cap_rot = eef_rec, rot_rec
+        selected = []
         for ci in range(self.max_chunks):
             step_idx = (ci + 1) * CHUNK
             pts = pos_rec[ci][: self.n_active]
@@ -495,9 +504,41 @@ class SimEnv:
                     continue
             elif ci != self.max_chunks - 1:
                 continue  # during settle only the final frame is stored
+            selected.append(ci)
+        if not selected:
+            return
+        # render every selected frame x 4 cameras as ONE device program
+        # (per-frame-per-camera dispatches at tunnel latency dominated
+        # episode generation wall-clock otherwise)
+        imgs = self._render_capture_batch(pos_rec, selected)
+        for k, ci in enumerate(selected):
             self._store(data, particles=pos_rec[ci],
-                        store_tool_pose=(jnp.array(eef_rec[ci]), jnp.array(rot_rec[ci])),
-                        shapes=self._shapes_at(ci))
+                        store_tool_pose=(jnp.array(eef_rec[ci]),
+                                         jnp.array(rot_rec[ci])),
+                        imgs=imgs[k])
+
+    def _render_capture_batch(self, pos_rec, selected):
+        """(F, 4, H, W, 5) frames for the selected chunk boundaries; F is
+        padded to a multiple of 4 so jit caches a few program shapes."""
+        from adaptigraph_tpu.sim.render import render_frames_batch
+
+        f = len(selected)
+        fp = -(-f // 4) * 4
+        idxs = selected + [selected[-1]] * (fp - f)
+        parts = np.stack([pos_rec[ci] for ci in idxs])
+        shs = [self._shapes_at(ci) for ci in idxs]
+        spos = jnp.stack([s.pos for s in shs])
+        squat = jnp.stack([s.quat for s in shs])
+        H, W = self.screen
+        cam_fwd = np.stack([_fwd_from_angle(a) for a in self._cam_ang])
+        imgs = render_frames_batch(
+            jnp.asarray(parts), jnp.asarray(self.colors),
+            jnp.tile(self.state.particles.active[None], (fp, 1)),
+            self.state.shapes, spos, squat,
+            jnp.asarray(np.asarray(self._cam_pos, np.float32)),
+            jnp.asarray(cam_fwd), jnp.asarray(self.camera.intrinsics()),
+            width=W, height=H)
+        return np.asarray(imgs)[:f]
 
     def _shapes_at(self, ci):
         """Shape set posed as it was at chunk boundary `ci` — so captured
@@ -549,7 +590,8 @@ class SimEnv:
         self._eef_prev = (link_pos, quat)
         return np.stack(rows)
 
-    def _store(self, data, particles=None, store_tool_pose=None, shapes=None):
+    def _store(self, data, particles=None, store_tool_pose=None, shapes=None,
+               imgs=None):
         imgs_list, particle_list, eef_list = data
         if particles is None:
             particles = np.asarray(self.state.particles.pos)
@@ -557,7 +599,8 @@ class SimEnv:
                              if self.fps else particles[: self.n_active].copy())
         eef, rot = store_tool_pose
         eef_list.append(self._eef_states_from_pose(eef, rot))
-        imgs = self._render_multiview(particles, shapes=shapes)
+        if imgs is None:
+            imgs = self._render_multiview(particles, shapes=shapes)
         imgs_list.append(imgs)
 
     def _render_multiview(self, particles, shapes=None):

@@ -122,6 +122,32 @@ def _ray_plane(ro, rd):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "splat_px"))
+def render_frames_batch(pos, colors, active, shapes: ShapeSet, shape_pos,
+                        shape_quat, cam_pos, cam_fwd, intrinsics,
+                        width: int = 720, height: int = 720, splat_px: int = 2,
+                        point_radius: float = 0.04):
+    """Render F frames x C cameras in ONE device program.
+
+    Capture rendering previously dispatched one program per (frame, camera)
+    — at remote-TPU tunnel latency (~seconds/dispatch) that dominates
+    episode generation wall-clock. Args: pos (F, N, 3); colors (N, 3);
+    active (F, N); shapes: static shape set whose per-frame poses come from
+    shape_pos (F, M, 3) / shape_quat (F, M, 4); cam_pos/cam_fwd (C, 3);
+    intrinsics (4,). Returns (F, C, H, W, 5)."""
+
+    def one(p, a, sp, sq):
+        sh = shapes._replace(pos=sp, quat=sq)
+        return jax.vmap(
+            lambda cp, cf: render_frame(p, colors, a, sh, cp, cf,
+                                        intrinsics, width=width, height=height,
+                                        splat_px=splat_px,
+                                        point_radius=point_radius)
+        )(cam_pos, cam_fwd)
+
+    return jax.vmap(one)(pos, active, shape_pos, shape_quat)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "splat_px"))
 def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
                  intrinsics, width: int = 720, height: int = 720, splat_px: int = 2,
                  point_radius: float = 0.04):
