@@ -207,26 +207,36 @@ class BatchSimEnv:
             env._pad_recs = (eefs[i, :, -1], rots[i, :, -1])
         return pos_rec, plans, nan_any
 
+    GATE_RES = 180  # validity-gate render resolution (mean-diff threshold
+    #                 is resolution-robust; full-res gating at B envs OOMs)
+    GATE_GROUP = 4  # envs per gate-render device program
+
     def render_all(self):
-        """One capture-view frame per env in a single device program
-        (the validity gate renders before/after every attempt; per-env
-        dispatches at tunnel latency would dominate)."""
+        """One capture-view frame per env for the color-diff validity gate,
+        rendered GATE_GROUP envs per device program at GATE_RES (per-env
+        full-res dispatches at tunnel latency would dominate)."""
         from adaptigraph_tpu.sim.env import _fwd_from_angle
         from adaptigraph_tpu.sim.render import render_frames_batch
 
         e0 = self.envs[0]
-        H, W = e0.screen
+        res = self.GATE_RES
+        scale = res / float(e0.screen[1])
+        intr = np.asarray(e0.camera.intrinsics(), np.float32) * scale
         cam_pos, ang = e0.camera.single_view(e0.camera_view)
         fwd = _fwd_from_angle(ang)
         shapes0 = jax.tree.map(lambda x: x[0], self.states.shapes)
-        imgs = render_frames_batch(
-            self.states.particles.pos, jnp.asarray(e0.colors),
-            self.states.particles.active, shapes0,
-            self.states.shapes.pos, self.states.shapes.quat,
-            jnp.asarray(np.asarray(cam_pos, np.float32))[None],
-            jnp.asarray(fwd)[None], jnp.asarray(e0.camera.intrinsics()),
-            width=W, height=H)
-        return np.asarray(imgs)[:, 0]
+        out = []
+        for lo in range(0, self.batch, self.GATE_GROUP):
+            hi = min(lo + self.GATE_GROUP, self.batch)
+            imgs = render_frames_batch(
+                self.states.particles.pos[lo:hi], jnp.asarray(e0.colors),
+                self.states.particles.active[lo:hi], shapes0,
+                self.states.shapes.pos[lo:hi], self.states.shapes.quat[lo:hi],
+                jnp.asarray(np.asarray(cam_pos, np.float32))[None],
+                jnp.asarray(fwd)[None], jnp.asarray(intr),
+                width=res, height=res)
+            out.append(np.asarray(imgs)[:, 0])
+        return np.concatenate(out)
 
     def capture(self, i, pos_rec, plans, data):
         """Contact-gated capture for env i — the same cadence rule as the

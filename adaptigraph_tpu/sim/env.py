@@ -517,28 +517,40 @@ class SimEnv:
                                          jnp.array(rot_rec[ci])),
                         imgs=imgs[k])
 
+    # render-batch group: F frames x 4 cameras per device program. Bounded
+    # because the shape-raycast intermediate ((M, H, W, 3) per frame-camera)
+    # can materialize with a lane-padded minor dim under vmap — 8 envs at
+    # 720^2 OOM'd 16 GB HBM; 2x4 stays comfortably resident.
+    RENDER_GROUP = 2
+
     def _render_capture_batch(self, pos_rec, selected):
-        """(F, 4, H, W, 5) frames for the selected chunk boundaries; F is
-        padded to a multiple of 4 so jit caches a few program shapes."""
+        """(F, 4, H, W, 5) frames for the selected chunk boundaries,
+        rendered in RENDER_GROUP-frame device programs (one program per
+        group instead of one per frame-camera)."""
         from adaptigraph_tpu.sim.render import render_frames_batch
 
         f = len(selected)
-        fp = -(-f // 4) * 4
+        g = self.RENDER_GROUP
+        fp = -(-f // g) * g
         idxs = selected + [selected[-1]] * (fp - f)
-        parts = np.stack([pos_rec[ci] for ci in idxs])
-        shs = [self._shapes_at(ci) for ci in idxs]
-        spos = jnp.stack([s.pos for s in shs])
-        squat = jnp.stack([s.quat for s in shs])
         H, W = self.screen
         cam_fwd = np.stack([_fwd_from_angle(a) for a in self._cam_ang])
-        imgs = render_frames_batch(
-            jnp.asarray(parts), jnp.asarray(self.colors),
-            jnp.tile(self.state.particles.active[None], (fp, 1)),
-            self.state.shapes, spos, squat,
-            jnp.asarray(np.asarray(self._cam_pos, np.float32)),
-            jnp.asarray(cam_fwd), jnp.asarray(self.camera.intrinsics()),
-            width=W, height=H)
-        return np.asarray(imgs)[:f]
+        out = []
+        for lo in range(0, fp, g):
+            sub = idxs[lo: lo + g]
+            parts = np.stack([pos_rec[ci] for ci in sub])
+            shs = [self._shapes_at(ci) for ci in sub]
+            imgs = render_frames_batch(
+                jnp.asarray(parts), jnp.asarray(self.colors),
+                jnp.tile(self.state.particles.active[None], (g, 1)),
+                self.state.shapes,
+                jnp.stack([s.pos for s in shs]),
+                jnp.stack([s.quat for s in shs]),
+                jnp.asarray(np.asarray(self._cam_pos, np.float32)),
+                jnp.asarray(cam_fwd), jnp.asarray(self.camera.intrinsics()),
+                width=W, height=H)
+            out.append(np.asarray(imgs))
+        return np.concatenate(out)[:f]
 
     def _shapes_at(self, ci):
         """Shape set posed as it was at chunk boundary `ci` — so captured
