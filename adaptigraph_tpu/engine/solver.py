@@ -398,9 +398,15 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
     nbr_idx = eligible = share = blocks = None
     if contact_mode == "block":
         # block structure ONCE per outer frame (like the NvFlex hash grid):
-        # inflation radius*1.5 covers a frame of particle drift
+        # inflation radius*1.5 covers a frame of particle drift. The block
+        # index table lives in SMEM inside the kernel; cap its width at
+        # scale so (nb, maxb) stays within the ~64 KB budget that the
+        # 16k/128-wide case measured as safe.
+        nb = (n + _TILE - 1) // _TILE
+        maxb = min(nb, 128 if nb <= 128 else 64)
         block_idx, block_cnt, _ = tile_overlap_blocks(
-            _pad_tile(p0.pos), _pad_tile_mask(p0.active), prm.radius * 1.5)
+            _pad_tile(p0.pos), _pad_tile_mask(p0.active), prm.radius * 1.5,
+            max_blocks=maxb)
         blocks = (block_idx, block_cnt)
     elif contact_mode == "sparse":
         # neighbor find ONCE per outer frame: dense masked top-k for tiny

@@ -51,9 +51,11 @@ class Caps(NamedTuple):
 
 MATERIAL_CAPS = {
     "rope": Caps(n=3072, s=0, c=384, k=640, m=8),
-    # granular capped at 16k particles for remote-worker stability;
-    # the largest sampled scenes truncate their granule grid (PARITY.md)
-    "granular": Caps(n=16384, s=0, c=768, k=640, m=8),
+    # granular raised toward the reference's largest sampled scenes (~35k,
+    # by_granular.h:22-72) now that the block-sparse contact path removed
+    # the 16k remote-worker hang; any residual truncation is stamped into
+    # property_params
+    "granular": Caps(n=32768, s=0, c=768, k=640, m=8),
     "cloth": Caps(n=4900, s=30720, c=0, k=0, m=8),
 }
 
