@@ -524,10 +524,12 @@ class SimEnv:
     RENDER_GROUP = 2
 
     def _render_capture_batch(self, pos_rec, selected):
-        """(F, 4, H, W, 5) frames for the selected chunk boundaries,
-        rendered in RENDER_GROUP-frame device programs (one program per
-        group instead of one per frame-camera)."""
-        from adaptigraph_tpu.sim.render import render_frames_batch
+        """Quantized (color_u8, depth_u16) frame pairs for the selected
+        chunk boundaries, rendered in RENDER_GROUP-frame device programs
+        (one program per group instead of one per frame-camera; uint8/uint16
+        transfers are 8x smaller than f32 RGBA+depth over the tunnel).
+        Returns a list of F (color (4, H, W, 3) u8, depth (4, H, W) u16)."""
+        from adaptigraph_tpu.sim.render import render_frames_store
 
         f = len(selected)
         g = self.RENDER_GROUP
@@ -540,7 +542,7 @@ class SimEnv:
             sub = idxs[lo: lo + g]
             parts = np.stack([pos_rec[ci] for ci in sub])
             shs = [self._shapes_at(ci) for ci in sub]
-            imgs = render_frames_batch(
+            color, depth = render_frames_store(
                 jnp.asarray(parts), jnp.asarray(self.colors),
                 jnp.tile(self.state.particles.active[None], (g, 1)),
                 self.state.shapes,
@@ -549,8 +551,9 @@ class SimEnv:
                 jnp.asarray(np.asarray(self._cam_pos, np.float32)),
                 jnp.asarray(cam_fwd), jnp.asarray(self.camera.intrinsics()),
                 width=W, height=H)
-            out.append(np.asarray(imgs))
-        return np.concatenate(out)[:f]
+            color, depth = np.asarray(color), np.asarray(depth)
+            out.extend((color[k], depth[k]) for k in range(color.shape[0]))
+        return out[:f]
 
     def _shapes_at(self, ci):
         """Shape set posed as it was at chunk boundary `ci` — so captured
@@ -612,7 +615,9 @@ class SimEnv:
         eef, rot = store_tool_pose
         eef_list.append(self._eef_states_from_pose(eef, rot))
         if imgs is None:
-            imgs = self._render_multiview(particles, shapes=shapes)
+            f = self._render_multiview(particles, shapes=shapes)  # (4,H,W,5)
+            imgs = ((np.clip(f[..., :3], 0.0, 1.0) * 255).astype(np.uint8),
+                    (f[..., 4] * 1000).astype(np.uint16))
         imgs_list.append(imgs)
 
     def _render_multiview(self, particles, shapes=None):

@@ -22,7 +22,21 @@ import h5py
 import numpy as np
 
 
-def process_imgs(imgs_list: np.ndarray):
+def process_imgs(imgs_list):
+    """Two accepted frame forms:
+    * (T, n_cam, H, W, 5) float RGBA+depth (the legacy renderer output);
+    * a list of T (color (n_cam, H, W, 3) uint8, depth (n_cam, H, W) uint16)
+      pairs — quantized ON DEVICE by render_frames_store so capture
+      transfers ship the h5 dtypes directly."""
+    if isinstance(imgs_list, (list, tuple)) and len(imgs_list) \
+            and isinstance(imgs_list[0], tuple):
+        c_stack = np.stack([c for c, _ in imgs_list])  # (T, n_cam, H, W, 3)
+        d_stack = np.stack([d for _, d in imgs_list])  # (T, n_cam, H, W)
+        n_cam = c_stack.shape[1]
+        color = {f"cam_{c}": c_stack[:, c, ..., ::-1] for c in range(n_cam)}
+        depth = {f"cam_{c}": d_stack[:, c] for c in range(n_cam)}
+        return color, depth
+    imgs_list = np.asarray(imgs_list)
     t, n_cam = imgs_list.shape[:2]
     color, depth = {}, {}
     for c in range(n_cam):
@@ -35,11 +49,16 @@ def process_imgs(imgs_list: np.ndarray):
 
 def store_data(filename: str, data, action: np.ndarray):
     imgs_list, particle_list, eef_list = data
-    imgs = np.array(imgs_list)
     particles = np.array(particle_list)
     eefs = np.array(eef_list)
-    t, n_cam = imgs.shape[:2]
-    color, depth = process_imgs(imgs)
+    if isinstance(imgs_list, (list, tuple)) and len(imgs_list) \
+            and isinstance(imgs_list[0], tuple):
+        t, n_cam = len(imgs_list), imgs_list[0][0].shape[0]
+        color, depth = process_imgs(imgs_list)
+    else:
+        imgs = np.array(imgs_list)
+        t, n_cam = imgs.shape[:2]
+        color, depth = process_imgs(imgs)
     episode = {
         "info": {"n_cams": n_cam, "timestamp": t, "n_particles": particles.shape[1]},
         "action": np.asarray(action),

@@ -122,6 +122,24 @@ def _ray_plane(ro, rd):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "splat_px"))
+def render_frames_store(pos, colors, active, shapes: ShapeSet, shape_pos,
+                        shape_quat, cam_pos, cam_fwd, intrinsics,
+                        width: int = 720, height: int = 720, splat_px: int = 2,
+                        point_radius: float = 0.04):
+    """render_frames_batch quantized ON DEVICE to the h5 schema dtypes:
+    (color (F, C, H, W, 3) uint8 RGB, depth (F, C, H, W) uint16 mm).
+    Capture transfers ride the remote-TPU tunnel; shipping f32 RGBA+depth
+    cost 8x the bytes of the uint8/uint16 the episode stores anyway."""
+    f = render_frames_batch(pos, colors, active, shapes, shape_pos, shape_quat,
+                            cam_pos, cam_fwd, intrinsics, width=width,
+                            height=height, splat_px=splat_px,
+                            point_radius=point_radius)
+    color = (jnp.clip(f[..., :3], 0.0, 1.0) * 255).astype(jnp.uint8)
+    depth = (f[..., 4] * 1000).astype(jnp.uint16)
+    return color, depth
+
+
+@partial(jax.jit, static_argnames=("width", "height", "splat_px"))
 def render_frames_batch(pos, colors, active, shapes: ShapeSet, shape_pos,
                         shape_quat, cam_pos, cam_fwd, intrinsics,
                         width: int = 720, height: int = 720, splat_px: int = 2,

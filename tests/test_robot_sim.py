@@ -117,8 +117,8 @@ class TestSimEnvArm:
         # arm link shapes moved from the rest pose during the push
         lp = np.asarray(env.state.shapes.pos[env.arm_slot0 + 6])
         assert np.linalg.norm(lp - env._rest_link_pos[6]) > 0.1
-        # captured frames must show the arm: at least one pixel's depth hits
-        # a shape that is not table/floor/tool in the top view... smoke-check
-        # via finite depth coverage instead (arm occupies the left region)
-        img = data[0][-1][0]
-        assert np.isfinite(img).all()
+        # captured frames are quantized (color u8, depth u16) pairs; smoke-
+        # check shape + dtype + non-degenerate depth
+        color, depth = data[0][-1]
+        assert color.dtype == np.uint8 and color.shape[-1] == 3
+        assert depth.dtype == np.uint16 and (depth > 0).any()

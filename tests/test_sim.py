@@ -186,7 +186,9 @@ class TestSimEnv:
         data = tiny_env.reset(seed=0, save_data=True)
         imgs, parts, eefs = data
         assert len(imgs) == len(parts) == len(eefs) == 1
-        assert imgs[0].shape == (4, 48, 48, 5)
+        color, depth = imgs[0]
+        assert color.shape == (4, 48, 48, 3) and color.dtype == "uint8"
+        assert depth.shape == (4, 48, 48) and depth.dtype == "uint16"
         assert parts[0].shape == (36, 3)
         assert eefs[0].shape == (1, 14)
 
