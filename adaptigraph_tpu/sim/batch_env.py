@@ -134,12 +134,16 @@ class BatchSimEnv:
 
         self._vmapped = jax.jit(jax.vmap(run_group))
 
-    def run_pushes(self, actions, group: int = 8):
+    def run_pushes(self, actions, group: int | None = None):
         """Execute one push per env (lockstep). actions: (B, 4) in the action
         frame; None entries hold the env still (parked no-op). Returns
-        (pos_rec (B, C, N, 3), plans, nan_flags (B,))."""
+        (pos_rec (B, C, N, 3), plans, nan_flags (B,)). Chunk-group size
+        defaults to the material's SimEnv.chunk_group (cloth runs 200 solver
+        iterations/frame — an 8-chunk x B-env program crashed the remote
+        worker)."""
         b = self.batch
         e0 = self.envs[0]
+        group = group or max(1, e0.chunk_group)
         plans = []
         for env, act in zip(self.envs, actions):
             if act is None:

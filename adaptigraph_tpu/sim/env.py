@@ -80,7 +80,7 @@ class SimEnv:
         # per-material default dispatch group: keep single device programs
         # well under the remote worker's execution watchdog (cloth runs 200
         # solver iterations per frame, granular 72 at ~27k particles)
-        default_group = {"cloth": 2, "granular": 1}.get(self.obj, 8)
+        default_group = {"cloth": 1, "granular": 1}.get(self.obj, 8)
         self.chunk_group = max(1, min(int(d.get("chunk_group", default_group)),
                                       self.max_chunks))
         self.caps = MATERIAL_CAPS[self.obj]
