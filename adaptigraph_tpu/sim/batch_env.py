@@ -265,7 +265,7 @@ class BatchSimEnv:
         env._capture_push(data, pr, er, rr, plans[i]["t_push"])
 
 
-def color_diff_valid(env, img_before, img_after, thresh=0.03):
+def color_diff_valid(env, img_before, img_after, thresh=0.01):
     """The reference's action-validity gate: mean image change across the
     capture view (data_gen.py:86-94's color_diff rule)."""
     d = np.abs(img_after[..., :3].astype(np.float32)
