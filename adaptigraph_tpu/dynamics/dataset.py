@@ -30,15 +30,29 @@ from adaptigraph_tpu.sim.episode_io import load_property_params
 from adaptigraph_tpu.utils.geometry import rotation_2d_z
 
 
-def load_pairs(pairs_path: str, episode_range) -> np.ndarray:
+def episode_names(data_dir: str, pairs_dir: str):
+    """Episode dir names in preprocess order, filtered to those with
+    emitted frame pairs — the canonical ordinal <-> name mapping (dir
+    names need not be contiguous; batched campaigns use seed-range
+    bases)."""
+    return sorted(f for f in os.listdir(data_dir)
+                  if os.path.isdir(os.path.join(data_dir, f)) and f.isdigit()
+                  and glob.glob(os.path.join(pairs_dir, f"{f}_*.txt")))
+
+
+def load_pairs(pairs_path: str, names, ordinals) -> np.ndarray:
+    """Frame-pair rows for the given episode dir names; the first column is
+    the episode ORDINAL (index into the preprocess positions lists) — dir
+    names need not be contiguous (batched campaigns use seed-range bases)."""
     rows = []
-    for epi in episode_range:
-        n_pushes = len(glob.glob(os.path.join(pairs_path, f"{epi:06}_*.txt")))
+    for nm, ordinal in zip(names, ordinals):
+        n_pushes = len(glob.glob(os.path.join(pairs_path, f"{nm}_*.txt")))
         for push in range(1, n_pushes + 1):
-            fp = np.loadtxt(os.path.join(pairs_path, f"{epi:06}_{push:02}.txt"))
+            fp = np.loadtxt(os.path.join(pairs_path, f"{nm}_{push:02}.txt"))
             if fp.ndim == 1:
                 continue
-            rows.append(np.concatenate([np.full((fp.shape[0], 1), epi), fp], axis=1))
+            rows.append(np.concatenate([np.full((fp.shape[0], 1), ordinal), fp],
+                                       axis=1))
     return np.concatenate(rows, axis=0).astype(int) if rows else np.zeros((0, 8), int)
 
 
@@ -56,14 +70,15 @@ def load_dataset(dataset_config, material_config, phase="train"):
     data_dir = os.path.join(dataset_config["data_dir"], data_name)
     prep_dir = os.path.join(dataset_config["prep_data_dir"], data_name)
     ratio = dataset_config["ratio"][phase]
-    num_epis = len([f for f in os.listdir(data_dir)
-                    if os.path.isdir(os.path.join(data_dir, f)) and f.isdigit()])
-    episode_range = range(int(num_epis * ratio[0]), int(num_epis * ratio[1]))
-    pair_lists = load_pairs(os.path.join(prep_dir, "frame_pairs"), episode_range)
+    pairs_dir = os.path.join(prep_dir, "frame_pairs")
+    names = episode_names(data_dir, pairs_dir)
+    num_epis = len(names)
+    lo, hi = int(num_epis * ratio[0]), int(num_epis * ratio[1])
+    pair_lists = load_pairs(pairs_dir, names[lo:hi], range(lo, hi))
 
     physics_params = []
-    for epi in range(num_epis):
-        props = load_property_params(os.path.join(data_dir, f"{epi:06}"))
+    for nm in names:
+        props = load_property_params(os.path.join(data_dir, nm))
         per_mat = {}
         for mat in dataset_config["materials"]:
             per_mat[mat] = normalize_physics(props, material_config[mat]["physics_params"])

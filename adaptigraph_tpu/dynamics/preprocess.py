@@ -112,8 +112,14 @@ def preprocess(config):
     all_eef, all_obj, phys = [], [], []
     for epi in episodes:
         epi_dir = os.path.join(data_dir, epi)
-        phys.append(extract_physics(epi_dir, data_name))
         num_steps = len(glob.glob(os.path.join(epi_dir, "*.h5"))) - 1
+        if num_steps <= 0:
+            # settle-only / aborted episode: no pushes to pair — skip it
+            # entirely so episode ordinals stay aligned with the dataset's
+            # filtered listing
+            print(f"episode {epi}: no pushes, skipped")
+            continue
+        phys.append(extract_physics(epi_dir, data_name))
         eef_steps, obj_steps, n_frames = [], [], 0
         for step in range(1, num_steps + 1):
             d = load_data(os.path.join(epi_dir, f"{step:02}.h5"))

@@ -173,7 +173,7 @@ def rollout_push(params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his
     return errors
 
 
-def _make_viz_ctx(dataset_config, epi, push_i, out_dir, cam=0):
+def _make_viz_ctx(dataset_config, name, push_i, out_dir, cam=0):
     """Load episode frames + camera params for overlay rendering
     (rollout/graph.py extract_imgs :20-40)."""
     import glob as _glob
@@ -187,13 +187,13 @@ def _make_viz_ctx(dataset_config, epi, push_i, out_dir, cam=0):
     intr = np.load(os.path.join(cam_dir, "intrinsic.npy"))[cam]
     extr = np.load(os.path.join(cam_dir, "extrinsic.npy"))[cam]
     imgs = []
-    for f in sorted(_glob.glob(os.path.join(data_dir, f"{epi:06}", "*.h5")))[1:]:
+    for f in sorted(_glob.glob(os.path.join(data_dir, name, "*.h5")))[1:]:
         d = load_data(f)
         imgs.append(d["observations"]["color"][f"cam_{cam}"])
     if not imgs:
         return None
     imgs = np.concatenate(imgs, axis=0)
-    save_dir = os.path.join(out_dir, f"viz_{epi:06}_{push_i + 1}_cam{cam}")
+    save_dir = os.path.join(out_dir, f"viz_{name}_{push_i + 1}_cam{cam}")
     os.makedirs(save_dir, exist_ok=True)
     return {"imgs": imgs, "intr": intr, "extr": extr, "save_dir": save_dir}
 
@@ -216,8 +216,10 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
     prep_dir = os.path.join(dataset_config["prep_data_dir"],
                             dataset_config["data_name"], "frame_pairs")
     data_dir = os.path.join(dataset_config["data_dir"], dataset_config["data_name"])
-    num_epis = len([f for f in os.listdir(data_dir)
-                    if os.path.isdir(os.path.join(data_dir, f)) and f.isdigit()])
+    from adaptigraph_tpu.dynamics.dataset import episode_names
+
+    names = episode_names(data_dir, prep_dir)
+    num_epis = len(names)
     ratio = dataset_config["ratio"]["valid"]
     epi_range = list(range(int(num_epis * ratio[0]), int(num_epis * ratio[1])))
     if max_episodes:
@@ -226,7 +228,8 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
     all_errors = []
     rng = np.random.RandomState(42)
     for epi in epi_range:
-        pair_files = sorted(glob.glob(os.path.join(prep_dir, f"{epi:06}_*.txt")))
+        name = names[epi]  # ordinal (positions lists) vs dir name mapping
+        pair_files = sorted(glob.glob(os.path.join(prep_dir, f"{name}_*.txt")))
         eef_pos, obj_pos = dataset.eef_pos[epi], dataset.obj_pos[epi]
         physics = dataset.physics_params[epi][dataset.material]
         for pi, pf in enumerate(pair_files):
@@ -238,7 +241,7 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
                                              pair, physics, rng)
             viz_ctx = None
             if viz:
-                viz_ctx = _make_viz_ctx(dataset_config, epi, pi, out_dir)
+                viz_ctx = _make_viz_ctx(dataset_config, name, pi, out_dir)
             errors = rollout_push(
                 params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his,
                 pair[n_his - 1], pair[n_his],
@@ -250,7 +253,7 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
                 merge_video(viz_ctx["save_dir"], "both",
                             os.path.join(viz_ctx["save_dir"], "both.mp4"), fps=10)
             all_errors.append(errors)
-            np.savetxt(os.path.join(out_dir, f"error_{epi:06}_{pi + 1}.txt"), errors)
+            np.savetxt(os.path.join(out_dir, f"error_{name}_{pi + 1}.txt"), errors)
             print(f"episode {epi} push {pi + 1}: {len(errors)} steps, "
                   f"final err {errors[-1] if errors else float('nan'):.4f}", flush=True)
 
