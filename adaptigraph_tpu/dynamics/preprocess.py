@@ -94,6 +94,33 @@ def extract_push(eef: np.ndarray, dist_thresh: float, n_his: int, n_future: int,
     return np.array(rows, dtype=np.int64) + n_frames, t_total
 
 
+def sanitize_positions(pos, bound: float = 20.0):
+    """Freeze escaped particles at their last in-bounds position.
+
+    A bad contact substep can eject a single particle to enormous (finite)
+    coordinates; one such point poisons FPS sampling and the training loss.
+    pos: (T, N, 3). Out-of-bounds samples forward-fill from the most recent
+    in-bounds frame (first-frame escapees back-fill from the first good)."""
+    pos = np.asarray(pos)
+    bad = np.abs(pos).max(axis=-1) > bound  # (T, N)
+    if not bad.any():
+        return pos
+    out = pos.copy()
+    t = pos.shape[0]
+    for n in np.unique(np.nonzero(bad)[1]):
+        good = np.nonzero(~bad[:, n])[0]
+        if len(good) == 0:
+            out[:, n] = 0.0
+            continue
+        last = good[0]
+        for fi in range(t):
+            if bad[fi, n]:
+                out[fi, n] = out[last, n]
+            else:
+                last = fi
+    return out
+
+
 def preprocess(config):
     dataset_config = config["dataset_config"]
     data_name = dataset_config["data_name"]
@@ -127,7 +154,7 @@ def preprocess(config):
             pairs, cnt = extract_push(out_eef, dist_thresh, n_his, n_future, n_frames)
             n_frames += cnt
             eef_steps.append(out_eef)
-            obj_steps.append(d["positions"])
+            obj_steps.append(sanitize_positions(d["positions"]))
             np.savetxt(os.path.join(push_dir, f"{epi}_{step:02}.txt"), pairs, fmt="%d")
         all_eef.append(np.concatenate(eef_steps, axis=0))
         all_obj.append(np.concatenate(obj_steps, axis=0))

@@ -264,6 +264,10 @@ def build_granular(scene: dict, rng: np.random.RandomState, caps: Caps):
         dissipation=jnp.float32(scene["dissipation"]),
         sleep_threshold=jnp.float32(scene["sleep_threshold"]),
         relaxation_factor=jnp.float32(scene["relaxation_factor"]),
+        # physical speed clamp (NvFlexParams maxSpeed): rigid-granule +
+        # kinematic-shape contacts can eject a particle at enormous speed
+        # in a bad substep; free fall tops out ~5 units/s, pusher ~0.2
+        max_speed=jnp.float32(25.0),
     )
     spec = SceneSpec(
         springs=empty_springs(caps.s),

@@ -130,7 +130,10 @@ class BatchSimEnv:
 
             st, rec = jax.lax.scan(one_chunk, state,
                                    (eefs, rots, gaps, atts, lps, lqs))
-            return st, rec, jnp.isnan(st.particles.pos[:, 0]).any()
+            p = st.particles.pos
+            bad = jnp.isnan(p[:, 0]).any() | (jnp.abs(
+                jnp.where(st.particles.active[:, None], p, 0.0)).max() > 1e3)
+            return st, rec, bad
 
         self._vmapped = jax.jit(jax.vmap(run_group))
 

@@ -304,7 +304,13 @@ class SimEnv:
 
             st, pos_rec = jax.lax.scan(one_chunk, state,
                                        (eefs, rots, gaps, atts, lps, lqs))
-            return st, pos_rec, jnp.isnan(st.particles.pos[:, 0]).any()
+            # explosion guard: NaN or escape far outside the workspace
+            # (the reference checks NaN only, flex_env.py:379-381; our
+            # engine's failure mode can also be a finite ejection)
+            p = st.particles.pos
+            bad = jnp.isnan(p[:, 0]).any() | (jnp.abs(
+                jnp.where(st.particles.active[:, None], p, 0.0)).max() > 1e3)
+            return st, pos_rec, bad
 
         self._group_fn = group_fn
 

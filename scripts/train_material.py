@@ -17,6 +17,11 @@ cfg = load_config(f'dynamics/{MATERIAL}')
 cfg['dataset_config']['data_dir'] = '/root/repo/data/sim_data'
 cfg['dataset_config']['prep_data_dir'] = '/root/repo/data/preprocess'
 cfg['dataset_config']['ratio'] = {'train': [0, 0.75], 'valid': [0.75, 1]}
+# demo-scale datasets (1-2 episodes) cannot split: train/validate on all
+import glob as _glob
+_eps = [d for d in _glob.glob(f'/root/repo/data/sim_data/{MATERIAL}/0*') if len(_glob.glob(d + '/0*.h5')) > 1]
+if len(_eps) < 4:
+    cfg['dataset_config']['ratio'] = {'train': [0, 1], 'valid': [0, 1]}
 cfg['train_config']['out_dir'] = '/root/repo/data/log'
 cfg['rollout_config']['out_dir'] = '/root/repo/data/rollout'
 
