@@ -139,7 +139,14 @@ def preprocess(config):
     all_eef, all_obj, phys = [], [], []
     for epi in episodes:
         epi_dir = os.path.join(data_dir, epi)
-        num_steps = len(glob.glob(os.path.join(epi_dir, "*.h5"))) - 1
+        # walk the steps that actually exist (sorted, 00.h5 is the settle
+        # frame) rather than range(1, count) — a stuck env may have stopped
+        # mid-episode, and older data can contain gapped numbering
+        step_files = sorted(
+            int(os.path.basename(f)[:-3])
+            for f in glob.glob(os.path.join(epi_dir, "[0-9][0-9].h5")))
+        steps = [s for s in step_files if s > 0]
+        num_steps = len(steps)
         if num_steps <= 0:
             # settle-only / aborted episode: no pushes to pair — skip it
             # entirely so episode ordinals stay aligned with the dataset's
@@ -148,7 +155,7 @@ def preprocess(config):
             continue
         phys.append(extract_physics(epi_dir, data_name))
         eef_steps, obj_steps, n_frames = [], [], 0
-        for step in range(1, num_steps + 1):
+        for step in steps:
             d = load_data(os.path.join(epi_dir, f"{step:02}.h5"))
             out_eef = process_eef(d["eef_states"], eef_dataset)
             pairs, cnt = extract_push(out_eef, dist_thresh, n_his, n_future, n_frames)

@@ -133,7 +133,9 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None):
     preps = {p: make_prepare_fn(d) for p, d in datasets.items()}
 
     model, params = init_model(config, datasets["train"])
-    optimizer = optax.adam(1e-3)
+    # lr from config (train_config.lr, reference default 1e-3 — the
+    # reference hardcodes it at train.py:63 but its config advertises it)
+    optimizer = optax.adam(float(train_config.get("lr", 1e-3)))
     opt_state = optimizer.init(params)
     n_future = int(dataset_config["n_future"])
     train_step, eval_step = make_train_step(model, n_future, optimizer)

@@ -396,6 +396,7 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             contact_mode = "dense" if n <= 2048 else "block"
     interpret = jax.default_backend() == "cpu"
     nbr_idx = eligible = share = blocks = None
+    overflow = jnp.int32(0)
     if contact_mode == "block":
         # block structure ONCE per outer frame (like the NvFlex hash grid):
         # inflation radius*1.5 covers a frame of particle drift. The block
@@ -404,7 +405,7 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
         # 16k/128-wide case measured as safe.
         nb = (n + _TILE - 1) // _TILE
         maxb = min(nb, 128 if nb <= 128 else 64)
-        block_idx, block_cnt, _ = tile_overlap_blocks(
+        block_idx, block_cnt, overflow = tile_overlap_blocks(
             _pad_tile(p0.pos), _pad_tile_mask(p0.active), prm.radius * 1.5,
             max_blocks=maxb)
         blocks = (block_idx, block_cnt)
@@ -434,7 +435,9 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
         sub, (state.particles, state.cluster_rot, state.global_rot,
               state.cluster_rest), ts)
     return SceneState(particles=particles, shapes=shapes, cluster_rot=cl_rot,
-                      global_rot=gl_rot, cluster_rest=cl_rest)
+                      global_rot=gl_rot, cluster_rest=cl_rest,
+                      contact_overflow=jnp.asarray(
+                          state.contact_overflow, jnp.int32) + overflow)
 
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",

@@ -326,6 +326,11 @@ class SceneState(NamedTuple):
     # stays spec.clusters.rest). Seed with jnp.array(spec.clusters.rest) to
     # enable plastic flow governed by params.plastic_threshold/creep.
     cluster_rest: jnp.ndarray | None = None
+    # running count of AABB-overlapping tile pairs dropped by the block
+    # contact sweep's per-row cap (tile_overlap_blocks max_blocks):
+    # nonzero means particle contacts were silently skipped this frame —
+    # callers fold a per-push delta into their explosion ('bad') guard
+    contact_overflow: jnp.ndarray | int = 0
 
 
 def make_particles(pos, inv_mass=None, group=None, self_collide=False, n_max=None) -> ParticleState:

@@ -41,9 +41,7 @@ def depth_to_points(depth_m: np.ndarray, intr: np.ndarray, extr: np.ndarray,
         valid &= mask.astype(bool)
     x = (uu + 0.5 - cx) / fx * z
     y = -(vv + 0.5 - cy) / fy * z
-    cam = np.stack([x, -(-y), -z], axis=-1)  # (H, W, 3) in GL cam frame
-    cam[..., 1] = y
-    pts_cam = cam[valid]
+    pts_cam = np.stack([x, y, -z], axis=-1)[valid]  # GL cam frame
     # world = R^T (cam - t)
     r = extr[:3, :3]
     t = extr[:3, 3]

@@ -411,6 +411,7 @@ def build_scene(material: str, rng: np.random.RandomState, shapes: ShapeSet | No
         shapes=shapes,
         cluster_rot=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (caps.c, 1)),
         global_rot=jnp.array([0.0, 0.0, 0.0, 1.0]),
+        contact_overflow=jnp.int32(0),
     )
     return SceneBuild(state=state, spec=spec, scene=scene, props=props,
                       n_active=n_active, substeps=scene["substeps"],

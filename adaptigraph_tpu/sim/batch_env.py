@@ -131,8 +131,11 @@ class BatchSimEnv:
             st, rec = jax.lax.scan(one_chunk, state,
                                    (eefs, rots, gaps, atts, lps, lqs))
             p = st.particles.pos
-            bad = jnp.isnan(p[:, 0]).any() | (jnp.abs(
-                jnp.where(st.particles.active[:, None], p, 0.0)).max() > 1e3)
+            bad = (jnp.isnan(p[:, 0]).any()
+                   | (jnp.abs(jnp.where(st.particles.active[:, None],
+                                        p, 0.0)).max() > 1e3)
+                   | (jnp.asarray(st.contact_overflow, jnp.int32)
+                      > jnp.asarray(state.contact_overflow, jnp.int32)))
             return st, rec, bad
 
         self._vmapped = jax.jit(jax.vmap(run_group))
@@ -204,6 +207,11 @@ class BatchSimEnv:
         # per-env bookkeeping mirroring SimEnv._push_fn + gripper restore
         for i, env in enumerate(self.envs):
             env.state = jax.tree.map(lambda x: x[i], self.states)
+            # commit IK state only for pushes that actually executed (a
+            # parked no-op overrides link poses to the rest pose, so its
+            # planned q never happens in the sim)
+            if actions[i] is not None and plans[i].get("q_final") is not None:
+                env._q_cur = plans[i]["q_final"]
             if env.gripper and actions[i] is not None:
                 w = env.state.particles.inv_mass.at[jnp.array(aidx[i])].set(
                     jnp.array(env._inv_mass0[aidx[i]]))
@@ -270,9 +278,13 @@ class BatchSimEnv:
 
 def color_diff_valid(env, img_before, img_after, thresh=0.01):
     """The reference's action-validity gate: mean image change across the
-    capture view (data_gen.py:86-94's color_diff rule)."""
-    d = np.abs(img_after[..., :3].astype(np.float32)
-               - img_before[..., :3].astype(np.float32))
+    capture view (data_gen.py:86-94's color_diff rule). The reference
+    thresholds mean |diff| of 0-255 pyflex images at color_threshold=0.01
+    (config data_gen/*.yaml:38); our renderer emits RGB in [0,1], so
+    quantize to the uint8 scale before comparing."""
+    a = (np.clip(img_after[..., :3], 0.0, 1.0) * 255).astype(np.uint8)
+    b = (np.clip(img_before[..., :3], 0.0, 1.0) * 255).astype(np.uint8)
+    d = np.abs(a.astype(np.float32) - b.astype(np.float32))
     return float(d.mean()) > thresh
 
 
@@ -307,8 +319,18 @@ def generate_batch(config, seeds, out_dir, n_timestep=None):
             return act
         return env.sample_action()
 
+    thresh = float(d.get("color_threshold", 0.01))
+    # an env that exhausts MAX_RETRY is stuck for the REST of the episode
+    # (the reference breaks the episode on stuck, data_gen.py:88-106) —
+    # otherwise a skipped timestep leaves a gap in the contiguous
+    # 01..NN.h5 numbering that preprocess walks
+    stuck = [False] * len(seeds)
     for t in range(n_timestep):
-        pending = list(range(len(seeds)))
+        pending = [i for i in range(len(seeds)) if not stuck[i]]
+        if not pending:
+            print(f"push {t + 1}/{n_timestep}: all envs stuck, stopping",
+                  flush=True)
+            break
         stored = [False] * len(seeds)
         before = benv.render_all()
         for attempt in range(MAX_RETRY):
@@ -323,7 +345,8 @@ def generate_batch(config, seeds, out_dir, n_timestep=None):
                 if actions[i] is None or nan_any[i]:
                     next_pending.append(i)
                     continue
-                if not color_diff_valid(benv.envs[i], before[i], after_all[i]):
+                if not color_diff_valid(benv.envs[i], before[i], after_all[i],
+                                        thresh=thresh):
                     next_pending.append(i)  # retry with a fresh action
                     continue
                 data = ([], [], [])
@@ -334,6 +357,10 @@ def generate_batch(config, seeds, out_dir, n_timestep=None):
                            actions[i])
                 stored[i] = True
             pending = next_pending
+        for i in pending:
+            stuck[i] = True
+            print(f"episode {int(seeds[i])} stuck at timestep {t} "
+                  f"(no valid push after {MAX_RETRY} attempts)", flush=True)
         print(f"push {t + 1}/{n_timestep}: {sum(stored)}/{len(seeds)} valid "
               f"({time.time() - t0:.0f}s)", flush=True)
     return benv

@@ -306,10 +306,15 @@ class SimEnv:
                                        (eefs, rots, gaps, atts, lps, lqs))
             # explosion guard: NaN or escape far outside the workspace
             # (the reference checks NaN only, flex_env.py:379-381; our
-            # engine's failure mode can also be a finite ejection)
+            # engine's failure mode can also be a finite ejection), plus
+            # dropped contacts from block-sweep overflow — skipped pairs
+            # cause interpenetration the other guards then paper over
             p = st.particles.pos
-            bad = jnp.isnan(p[:, 0]).any() | (jnp.abs(
-                jnp.where(st.particles.active[:, None], p, 0.0)).max() > 1e3)
+            bad = (jnp.isnan(p[:, 0]).any()
+                   | (jnp.abs(jnp.where(st.particles.active[:, None],
+                                        p, 0.0)).max() > 1e3)
+                   | (jnp.asarray(st.contact_overflow, jnp.int32)
+                      > jnp.asarray(state.contact_overflow, jnp.int32)))
             return st, pos_rec, bad
 
         self._group_fn = group_fn
@@ -417,7 +422,7 @@ class SimEnv:
         # pybullet IK of flex_env.py:297-304). The tool then FOLLOWS THE FK
         # CHAIN — like the reference, where the stick/board/fingers are URDF
         # links — so physics, rendering, and recorded eef states agree.
-        lp_traj = lq_traj = None
+        lp_traj = lq_traj = q_final = None
         if self.use_robot:
             from adaptigraph_tpu.sim.robot import ik_traj, link_pose_traj
 
@@ -426,7 +431,7 @@ class SimEnv:
                              jnp.asarray(self._q_cur), jnp.asarray(self.robot_base))
             lp, lq = link_pose_traj(q_traj, jnp.asarray(self.robot_base))
             lp_traj, lq_traj = np.asarray(lp), np.asarray(lq)
-            self._q_cur = np.asarray(q_traj[-1])
+            q_final = np.asarray(q_traj[-1])
             eef_flex = lp_traj[:, -1]
             rot_traj = np.asarray(jax.vmap(geo.quat_to_matrix)(
                 jnp.asarray(lq_traj[:, -1])))
@@ -456,10 +461,15 @@ class SimEnv:
             attach_rel = ((pts[attach_idx % self.n_active] - eef0)
                           @ rot_traj[grasp_t]).astype(np.float32)
 
+        # q_final is NOT committed to self._q_cur here: a planned push may
+        # never execute (batched parked no-ops, invalid-push retries), and
+        # warm-starting the next IK from a pose the arm never reached causes
+        # transient tracking error — callers commit it when the push runs
         return {"eef": eef_flex.astype(np.float32), "rot": rot_traj,
                 "gap": gap_traj, "attach_active": attach_active,
                 "attach_idx": attach_idx, "attach_rel": attach_rel,
-                "link_pos": lp_traj, "link_quat": lq_traj, "t_push": t_push}
+                "link_pos": lp_traj, "link_quat": lq_traj, "t_push": t_push,
+                "q_final": q_final}
 
     def step(self, action, save_data: bool = False, data=None):
         """Execute one push. Returns (obs_img, data) or None on explosion."""
@@ -479,6 +489,8 @@ class SimEnv:
         if bool(np.asarray(nan_rec).any()):
             print("simulator exploded when action is", action)
             return None
+        if plan["q_final"] is not None:  # push executed: commit the IK state
+            self._q_cur = plan["q_final"]
         # restore grasped particle mass (flex_env.py:384-388)
         if self.gripper:
             w = st.particles.inv_mass.at[jnp.array(attach_idx)].set(

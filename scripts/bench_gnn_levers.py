@@ -73,7 +73,7 @@ def bench(batch, steps, n_obj, max_edges, dtype, aggregation, trials=3):
         out = rollout(params, gb)
         float(jnp.sum(out))
         best = max(best, batch * steps / (time.time() - t0))
-    peak = 394e12 if dtype == jnp.bfloat16 else 197e12 / 2  # v5e bf16/f32
+    peak = 197e12 if dtype == jnp.bfloat16 else 98.5e12  # v5e bf16/f32 peak
     mfu = flops * best / (batch * steps) / peak if flops == flops else None
     print(json.dumps({
         "batch": batch, "n_obj": n_obj, "max_edges": max_edges,
