@@ -100,22 +100,19 @@ def _pair_block(r, c, i_row0, j_col0, rest_dist, friction, filter_dist):
     wi, wj = r[:, 7:8], c[7:8, :]
     ai, aj = r[:, 12:13], c[12:13, :]
     same_group = jnp.abs(gi - gj) < 0.5
-    collide = (~same_group) | ((sci > 0.5) & (scj > 0.5))
+    pair_sc = (sci > 0.5) & (scj > 0.5)
     rdx = r[:, 9:10] - c[9:10, :]
     rdy = r[:, 10:11] - c[10:11, :]
     rdz = r[:, 11:12] - c[11:12, :]
-    rest_d2 = rdx * rdx + rdy * rdy + rdz * rdz
-    collide = collide & ~(same_group & (rest_d2 < filter_dist * filter_dist))
+    rest_near = rdx * rdx + rdy * rdy + rdz * rdz < filter_dist * filter_dist
+    collide = (~same_group) | (pair_sc & ~rest_near)
 
-    tile, tj = r.shape[0], c.shape[1]
-    row_ids = i_row0 + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
-    col_ids = j_col0 + jax.lax.broadcasted_iota(jnp.int32, (1, tj), 1)
-    not_self = row_ids != col_ids
-
+    # d2 > tiny doubles as the self-pair exclusion (identical formulation
+    # to the block-sparse kernel so the two paths agree bit-for-bit)
     wsum = wi + wj
-    contact = ((overlap > 0.0) & collide & not_self & (wsum > 0.0)
-               & (ai > 0.5) & (aj > 0.5))
-    share = wi / (wsum + _EPS)
+    contact = ((d2 < rest_dist * rest_dist) & (d2 > 1e-14) & collide
+               & (wsum > 0.0) & (ai > 0.5) & (aj > 0.5))
+    share = wi * pl.reciprocal(wsum + _EPS, approx=False)
     cf = jnp.where(contact, 1.0, 0.0)
     mag = share * overlap * inv_dist * cf
 
@@ -147,19 +144,71 @@ def _make_block_sparse_kernel(tile: int):
         rows_ref: (tile, 16) row-particle attributes
         cols_ref: (16, N_pad) the FULL lane-major attribute array (VMEM)
         out_ref:  (tile, 8) [delta_xyz, count, 0...]
+
+        Two-stage pair math: a ~20-op detection stage (distance + pair
+        eligibility) runs on every block; the ~60-op projection/friction
+        stage runs under lax.cond only when the block has at least one
+        actual contact. AABB culling admits blocks that are NEAR; in the
+        sparse-contact regimes (rope at rest spacing > rest_dist after the
+        self-collide filter, flat cloth) almost no admitted block has a
+        true contact, so the cold path dominates.
         """
         i = pl.program_id(0)
         rest_dist = scal_ref[0, 0]
         friction = scal_ref[0, 1]
         filter_dist = scal_ref[0, 2]
         r = rows_ref[:]
-        i_row0 = i * tile
+        xi, yi, zi = r[:, 0:1], r[:, 1:2], r[:, 2:3]
 
         def body(k, acc):
             j = idx_ref[i, k]
             c = cols_ref[:, pl.ds(pl.multiple_of(j * tile, tile), tile)]
-            return acc + _pair_block(r, c, i_row0, j * tile, rest_dist,
-                                     friction, filter_dist)
+            # ---- stage 1: detection ----
+            dx = xi - c[0:1, :]
+            dy = yi - c[1:2, :]
+            dz = zi - c[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            same_group = jnp.abs(r[:, 6:7] - c[6:7, :]) < 0.5
+            pair_sc = (r[:, 8:9] > 0.5) & (c[8:9, :] > 0.5)
+            rdx = r[:, 9:10] - c[9:10, :]
+            rdy = r[:, 10:11] - c[10:11, :]
+            rdz = r[:, 11:12] - c[11:12, :]
+            rest_near = (rdx * rdx + rdy * rdy + rdz * rdz
+                         < filter_dist * filter_dist)
+            collide = (~same_group) | (pair_sc & ~rest_near)
+            # d2 > tiny doubles as the self-pair exclusion (and coincident
+            # distinct particles produce ~zero delta anyway)
+            contact = ((d2 < rest_dist * rest_dist) & (d2 > 1e-14) & collide
+                       & (r[:, 12:13] > 0.5) & (c[12:13, :] > 0.5))
+
+            def full(_):
+                wi, wj = r[:, 7:8], c[7:8, :]
+                wsum = wi + wj
+                cf = jnp.where(contact & (wsum > 0.0), 1.0, 0.0)
+                inv_dist = jax.lax.rsqrt(d2 + _EPS)
+                dist = d2 * inv_dist
+                overlap = rest_dist - dist
+                share = wi * pl.reciprocal(wsum + _EPS, approx=False)
+                mag = share * overlap * inv_dist * cf
+                mx = (xi - r[:, 3:4]) - (c[0:1, :] - c[3:4, :])
+                my = (yi - r[:, 4:5]) - (c[1:2, :] - c[4:5, :])
+                mz = (zi - r[:, 5:6]) - (c[2:3, :] - c[5:6, :])
+                rel_n = (mx * dx + my * dy + mz * dz) * (inv_dist * inv_dist)
+                tx = mx - rel_n * dx
+                ty = my - rel_n * dy
+                tz = mz - rel_n * dz
+                inv_tnorm = jax.lax.rsqrt(tx * tx + ty * ty + tz * tz + _EPS)
+                max_slide = jnp.maximum(friction * overlap, 0.0)
+                fscale = jnp.minimum(1.0, max_slide * inv_tnorm) * share * cf
+                ddx = jnp.sum(dx * mag - tx * fscale, axis=1)
+                ddy = jnp.sum(dy * mag - ty * fscale, axis=1)
+                ddz = jnp.sum(dz * mag - tz * fscale, axis=1)
+                return jnp.stack([ddx, ddy, ddz, jnp.sum(cf, axis=1)], axis=1)
+
+            contrib = jax.lax.cond(
+                jnp.any(contact), full,
+                lambda _: jnp.zeros((tile, 4), jnp.float32), 0)
+            return acc + contrib
 
         acc = jax.lax.fori_loop(0, cnt_ref[i, 0],
                                 body, jnp.zeros((tile, 4), jnp.float32))

@@ -218,6 +218,96 @@ def _cluster_deltas(pos, clusters, cluster_rot, rest=None, inc=None):
     return delta, cnt, q_new
 
 
+def _cluster_deltas_matmul(pos, pos0, clusters, cluster_rot, mm):
+    """Shape-matching corrections via the membership matrix (state.ClusterMatmul):
+    segment reductions as two MXU matmuls, zero gathers. Exact reformulation
+    of `_cluster_deltas` for elastic clusters whose rest offsets derive from
+    `pos0` (= spec.rest_pos); see ClusterMatmul's docstring for the algebra.
+    Replaces the dominant rope-frame cost (measured 1.28 ms/iteration of
+    member gathers at C=384, K=640 -> ~25 us of matmul)."""
+    hi = jax.lax.Precision.HIGHEST
+    m = mm.matrix  # (C, N)
+    cnt = jnp.maximum(mm.count, 1.0)[:, None]  # (C, 1)
+    # displacement form: u magnitudes (motion since build) are far smaller
+    # than absolute coordinates, so the matmul-and-subtract below loses
+    # ~|u||pos0| instead of ~|pos||pos0| to cancellation (see ClusterMatmul
+    # .a00); com and A come out of ONE fused matmul
+    u = pos - pos0  # (N, 3)
+    outer = (u[:, :, None] * pos0[:, None, :]).reshape(-1, 9)  # (N, 9)
+    uo = jnp.concatenate([u, outer], axis=1)  # (N, 12)
+    g12 = jnp.dot(m, uo, precision=hi)  # (C, 12)
+    ubar = g12[:, :3] / cnt  # (C, 3) mean displacement
+    com = mm.com0 + ubar
+    a = mm.a00.reshape(-1, 3, 3) + g12[:, 3:].reshape(-1, 3, 3) \
+        - cnt[..., None] * (ubar[:, :, None] * mm.com0[:, None, :])
+    q_new = geo.extract_rotation(a, cluster_rot, iterations=6)
+    q_new = jnp.where(clusters.valid[:, None], q_new, cluster_rot)
+    r = geo.quat_to_matrix(q_new)  # (C, 3, 3)
+    s = clusters.stiffness  # (C,)
+    # R @ com0_goal written out elementwise: tiny einsums lower to
+    # dot_general, whose DEFAULT precision is lossy (bf16-class) on both
+    # the TPU and the forced-host CPU test platform — enough per-iteration
+    # noise to wash out granular stick-slip friction over a push
+    b = s[:, None] * (com - _mat3_apply(r, mm.com0_goal))  # (C, 3)
+    packed = jnp.concatenate(
+        [b, (s[:, None, None] * r).reshape(-1, 9), s[:, None],
+         clusters.valid.astype(pos.dtype)[:, None]], axis=1)  # (C, 14)
+    g = jnp.dot(m.T, packed, precision=hi)  # (N, 14)
+    delta = g[:, :3] + _mat3_apply(g[:, 3:12].reshape(-1, 3, 3), pos0) \
+        - g[:, 12:13] * pos
+    cnt_p = g[:, 13]
+    return delta, cnt_p, q_new
+
+
+def _mat3_apply(m3, v):
+    """(..., 3, 3) @ (..., 3) as explicit FMAs (full f32, no dot_general)."""
+    return jnp.stack(
+        [m3[..., 0, 0] * v[..., 0] + m3[..., 0, 1] * v[..., 1] + m3[..., 0, 2] * v[..., 2],
+         m3[..., 1, 0] * v[..., 0] + m3[..., 1, 1] * v[..., 1] + m3[..., 1, 2] * v[..., 2],
+         m3[..., 2, 0] * v[..., 0] + m3[..., 2, 1] * v[..., 1] + m3[..., 2, 2] * v[..., 2]],
+        axis=-1)
+
+
+def _cluster_deltas_segments(pos, pos0, clusters, cluster_rot, seg):
+    """Shape-matching corrections for disjoint contiguous clusters
+    (state.ClusterSegments — the granular granule layout): segment sums via
+    cumsum + boundary gather (C rows), broadcast-back via one (N,)-row
+    gather of a small table. Same algebra as `_cluster_deltas_matmul`."""
+    n = pos.shape[0]
+    c_rows = seg.count.shape[0]
+    cnt = jnp.maximum(seg.count, 1.0)[:, None]
+    # two-pass centered covariance: segment-sum positions -> per-cluster
+    # com, broadcast back, then segment-sum the CENTERED outer products.
+    # Centered magnitudes are ~granule size, so there is no large-term
+    # cancellation (the one-pass E[xy] - E[x]E[y] form measurably
+    # lubricates rigid granule contacts; see ClusterMatmul.a00 note).
+    # Both reductions are over SORTED contiguous ids.
+    sum_pos = jax.ops.segment_sum(pos, seg.cid, num_segments=c_rows + 1,
+                                  indices_are_sorted=True)[:c_rows]
+    com = sum_pos / cnt
+    ctab = jnp.concatenate([jnp.concatenate([com, seg.com0], axis=1),
+                            jnp.zeros((1, 6), pos.dtype)], axis=0)
+    cp = ctab[seg.cid]  # (N, 6)
+    centered = pos - cp[:, :3]
+    centered0 = pos0 - cp[:, 3:]
+    outer = (centered[:, :, None] * centered0[:, None, :]).reshape(n, 9)
+    a = jax.ops.segment_sum(outer, seg.cid, num_segments=c_rows + 1,
+                            indices_are_sorted=True)[:c_rows].reshape(-1, 3, 3)
+    q_new = geo.extract_rotation(a, cluster_rot, iterations=6)
+    q_new = jnp.where(clusters.valid[:, None], q_new, cluster_rot)
+    r = geo.quat_to_matrix(q_new)
+    s = clusters.stiffness
+    b = s[:, None] * (com - _mat3_apply(r, seg.com0))  # full-f32 (see matmul pass)
+    table = jnp.concatenate(
+        [b, (s[:, None, None] * r).reshape(-1, 9), s[:, None],
+         clusters.valid.astype(pos.dtype)[:, None]], axis=1)  # (C, 14)
+    table = jnp.concatenate([table, jnp.zeros((1, 14), pos.dtype)], axis=0)
+    g = table[seg.cid]  # (N, 14) — the only large gather
+    delta = g[:, :3] + _mat3_apply(g[:, 3:12].reshape(-1, 3, 3), pos0) \
+        - g[:, 12:13] * pos
+    return delta, g[:, 13], q_new
+
+
 def _plastic_flow(pos, clusters, cluster_rot, rest, threshold, creep):
     """Shape-matching plasticity (NvFlexParams plasticThreshold/plasticCreep,
     NvFlex.h:95-154): once per substep, clusters whose RMS deviation from the
@@ -328,9 +418,16 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
             delta = delta + delta_s
             cnt = cnt + cnt_s
         if has_clusters:
-            delta_m, cnt_m, cl_rot = _cluster_deltas(pos, spec.clusters, cl_rot,
-                                                     rest=cluster_rest,
-                                                     inc=spec.cluster_inc)
+            if spec.cluster_mm is not None and cluster_rest is None:
+                delta_m, cnt_m, cl_rot = _cluster_deltas_matmul(
+                    pos, spec.rest_pos, spec.clusters, cl_rot, spec.cluster_mm)
+            elif spec.cluster_seg is not None and cluster_rest is None:
+                delta_m, cnt_m, cl_rot = _cluster_deltas_segments(
+                    pos, spec.rest_pos, spec.clusters, cl_rot, spec.cluster_seg)
+            else:
+                delta_m, cnt_m, cl_rot = _cluster_deltas(pos, spec.clusters, cl_rot,
+                                                         rest=cluster_rest,
+                                                         inc=spec.cluster_inc)
             delta = delta + delta_m
             cnt = cnt + cnt_m
         if has_global:

@@ -187,6 +187,192 @@ def springs_to_offset_families(idx, rest, stiffness, n: int,
     return make_offset_springs(n, families), leftover
 
 
+class ClusterMatmul(NamedTuple):
+    """Membership-matrix form of the shape-matching cluster pass.
+
+    The gather formulation reads (C, K) member rows + an (N, D) incidence
+    table every iteration — at rope scale (384x640) that is ~250k gathered
+    rows per iteration and dominates the whole frame (measured 1.28 ms of
+    the 1.44 ms rope iteration). With the 0/1 membership matrix M (C, N),
+    every segment reduction becomes an MXU matmul:
+
+      com_c   = (M @ pos) / count_c
+      A_c     = M @ (pos_i (x) pos0_i) - count_c * com_c (x) com0_c
+      delta_i = M^T @ [b | S | s | valid]  ->  b_i + S_i pos0_i - s_i pos_i
+
+    where pos0 = spec.rest_pos and rest[c, i] = pos0_i - com0_c (exactly how
+    make_clusters builds rest offsets; attach_incidence verifies this before
+    enabling the path). Exact for overlapping clusters; only valid while no
+    plastic flow has reshaped the rest offsets (cluster_rest is None).
+    """
+
+    matrix: jnp.ndarray  # (C, N) f32 0/1 membership (valid members only)
+    com0: jnp.ndarray    # (C, 3) member-mean rest COM (used in A)
+    # goal-reference point per cluster: rest[c, i] = pos0_i - com0_goal_c.
+    # Equal to com0 for ordinary clusters; differs for a folded-in global
+    # cluster whose rest offsets are centered on the ALL-particle mean while
+    # its membership (and hence com0) excludes pinned particles. A is
+    # invariant to this reference (sum of centered positions is zero), the
+    # goal term is not.
+    com0_goal: jnp.ndarray  # (C, 3)
+    count: jnp.ndarray   # (C,) f32 member counts (>=1 for valid clusters)
+    # static rest covariance sum_i (pos0_i - com0_c)(x)(pos0_i - com0_c),
+    # accumulated host-side in f64. The solver computes
+    # A = a00 + M @ (u (x) pos0) - cnt * (com - com0) (x) com0 with
+    # u = pos - pos0: the naive M @ (pos (x) pos0) form cancels ~|pos|^2
+    # magnitudes down to ~|cluster size|^2, and the resulting deterministic
+    # jitter (~1e-4 relative on A) acts like lubrication on rigid clusters
+    # (measured: granular friction band ratio collapsed 1.74 -> 1.16)
+    a00: jnp.ndarray     # (C, 9)
+
+
+def build_cluster_matmul(clusters: ClusterSet, rest_pos, n: int) -> ClusterMatmul | None:
+    """Host-side membership matrix; returns None when the rest offsets are
+    not consistent with rest_pos (the factorization would be wrong)."""
+    member = np.asarray(clusters.member)
+    mvalid = np.asarray(clusters.member_valid) & np.asarray(clusters.valid)[:, None]
+    rest_pos = np.asarray(rest_pos)[:n]
+    c = member.shape[0]
+    mat = np.zeros((c, n), dtype=np.float32)
+    com0 = np.zeros((c, 3), dtype=np.float32)
+    cnt = np.ones((c,), dtype=np.float32)
+    a00 = np.zeros((c, 9), dtype=np.float32)
+    rest64 = rest_pos.astype(np.float64)
+    for ci in range(c):
+        m = member[ci][mvalid[ci]]
+        if len(m) == 0:
+            continue
+        mat[ci, m] = 1.0
+        co64 = rest64[m].mean(axis=0)
+        com0[ci] = co64.astype(np.float32)
+        cnt[ci] = float(len(m))
+        cen = rest64[m] - co64
+        a00[ci] = np.einsum("ki,kj->ij", cen, cen).reshape(9).astype(np.float32)
+        if not np.allclose(cen.astype(np.float32),
+                           np.asarray(clusters.rest)[ci][mvalid[ci]],
+                           atol=1e-4):
+            return None
+    return ClusterMatmul(matrix=jnp.array(mat), com0=jnp.array(com0),
+                         com0_goal=jnp.array(com0), count=jnp.array(cnt),
+                         a00=jnp.array(a00))
+
+
+def fold_global_cluster(spec, particles) -> "SceneSpec":
+    """Fold the global shape-matching cluster (flexExtSoft.cpp:592-616) into
+    a free padding row of the membership-matrix cluster pass: its rotation
+    extraction then batches with the ordinary clusters instead of running a
+    ~260 us/iteration chain of scalar ops on a single quaternion. Only
+    applied when the scene uses the matmul path, has a free cluster row, and
+    no plasticity (the fallback paths would lose the global term). The
+    membership mask snapshots build-time (active & inv_mass > 0) — exact
+    while inv_mass is static, which holds for rope (the only global-cluster
+    material; grasp-driven inv_mass edits only occur in cloth scenes)."""
+    if spec.global_rest.shape[0] == 0 or spec.cluster_mm is None:
+        return spec
+    if float(np.asarray(spec.global_stiffness)) <= 0.0:
+        return spec  # stiffness-0 global adds no delta AND no count
+    cl = spec.clusters
+    valid = np.asarray(cl.valid)
+    free = np.nonzero(~valid)[0]
+    if len(free) == 0:
+        return spec
+    row = int(free[0])
+    inv_mass = np.asarray(particles.inv_mass)
+    active = np.asarray(particles.active)
+    mm = spec.cluster_mm
+    n = mm.matrix.shape[1]
+    mask = (active[:n] & (inv_mass[:n] > 0)).astype(np.float32)
+    cnt = max(float(mask.sum()), 1.0)
+    rest_pos = np.asarray(spec.rest_pos)[:n].astype(np.float64)
+    com0_memb = (rest_pos * mask[:, None]).sum(0) / cnt
+    # global_rest = rest_pos - c0: recover the goal reference point c0
+    sel = active[:n]
+    c0 = rest_pos[sel] - np.asarray(spec.global_rest)[:n][sel]
+    c0 = c0.mean(0)
+    mat = np.asarray(mm.matrix).copy()
+    com0 = np.asarray(mm.com0).copy()
+    com0_goal = np.asarray(mm.com0_goal).copy()
+    count = np.asarray(mm.count).copy()
+    a00 = np.asarray(mm.a00).copy()
+    mat[row] = mask
+    com0[row] = com0_memb.astype(np.float32)
+    com0_goal[row] = c0.astype(np.float32)
+    count[row] = cnt
+    cen = (rest_pos - com0_memb) * mask[:, None]
+    a00[row] = np.einsum("ki,kj->ij", cen, cen).reshape(9).astype(np.float32)
+    stiff = np.asarray(cl.stiffness).copy()
+    cvalid = valid.copy()
+    stiff[row] = float(np.asarray(spec.global_stiffness))
+    cvalid[row] = True
+    return spec._replace(
+        clusters=cl._replace(stiffness=jnp.array(stiff), valid=jnp.array(cvalid)),
+        cluster_mm=ClusterMatmul(matrix=jnp.array(mat), com0=jnp.array(com0),
+                                 com0_goal=jnp.array(com0_goal),
+                                 count=jnp.array(count), a00=jnp.array(a00)),
+        global_rest=jnp.zeros((0, 3), dtype=jnp.float32),
+    )
+
+
+class ClusterSegments(NamedTuple):
+    """Contiguous-segment form of the cluster pass, for scenes whose
+    clusters are DISJOINT, CONTIGUOUS index ranges in build order (granular:
+    particles are appended granule by granule, build_granular). Segment
+    reductions become cumsum + a (C,)-row boundary gather, and the
+    per-particle broadcast-back a (N,)-row gather of a small (C+1, .)
+    table — replacing the (C, K) member gather (491k gathered rows per
+    iteration at the granular 768x640 caps)."""
+
+    starts: jnp.ndarray  # (C+1,) int32 cumulative boundaries (starts[-1] = end)
+    cid: jnp.ndarray     # (N,) int32 cluster id per particle, C = "none"
+    com0: jnp.ndarray    # (C, 3) rest COM per cluster
+    count: jnp.ndarray   # (C,) f32 member counts (>=1)
+
+
+def build_cluster_segments(clusters: ClusterSet, rest_pos, n: int) -> "ClusterSegments | None":
+    """Host-side detection + table build; returns None unless every valid
+    cluster is a contiguous ascending range, ranges are disjoint and ordered,
+    and rest offsets derive from rest_pos (same consistency rule as
+    build_cluster_matmul)."""
+    member = np.asarray(clusters.member)
+    mvalid = np.asarray(clusters.member_valid) & np.asarray(clusters.valid)[:, None]
+    rest_pos = np.asarray(rest_pos)[:n]
+    c_rows = member.shape[0]
+    starts, com0, cnt = [], [], []
+    cid = np.full((n,), 0, dtype=np.int32)
+    cursor = 0
+    n_valid = 0
+    for ci in range(c_rows):
+        m = member[ci][mvalid[ci]]
+        if len(m) == 0:
+            continue
+        if ci != n_valid:  # valid clusters must be a compact prefix, so the
+            return None    # per-cluster tables stay aligned with ClusterSet rows
+        if not (m[0] == cursor and np.array_equal(m, np.arange(m[0], m[0] + len(m)))):
+            return None
+        co = rest_pos[m].mean(axis=0)
+        if not np.allclose(rest_pos[m] - co,
+                           np.asarray(clusters.rest)[ci][mvalid[ci]], atol=1e-4):
+            return None
+        starts.append(cursor)
+        com0.append(co)
+        cnt.append(float(len(m)))
+        cid[m] = n_valid
+        n_valid += 1
+        cursor += len(m)
+    if n_valid == 0:
+        return None
+    # pad the per-cluster tables to the static cap so batched scenes stack
+    starts = starts + [cursor] * (c_rows - n_valid + 1)
+    com0 = com0 + [np.zeros(3, np.float32)] * (c_rows - n_valid)
+    cnt = cnt + [1.0] * (c_rows - n_valid)
+    cid[cursor:] = c_rows  # padding particles -> "none" row
+    return ClusterSegments(
+        starts=jnp.array(np.asarray(starts, np.int32)),
+        cid=jnp.array(cid),
+        com0=jnp.array(np.stack(com0).astype(np.float32)),
+        count=jnp.array(np.asarray(cnt, np.float32)))
+
+
 class ClusterIncidence(NamedTuple):
     """Per-particle incident (cluster, slot) table — the cluster-pass
     analogue of SpringIncidence. idx indexes the flattened (C*K,) member
@@ -309,6 +495,13 @@ class SceneSpec(NamedTuple):
     spring_inc: SpringIncidence | None = None
     # same for the shape-matching cluster pass (build_cluster_incidence)
     cluster_inc: ClusterIncidence | None = None
+    # membership-matrix cluster pass (build_cluster_matmul): when present
+    # (and no plastic flow is active) the cluster pass runs as two MXU
+    # matmuls with zero gathers — preferred at small-N scenes (rope)
+    cluster_mm: "ClusterMatmul | None" = None
+    # contiguous-segment cluster pass (build_cluster_segments) — cumsum
+    # form for disjoint granule layouts at large N (granular)
+    cluster_seg: "ClusterSegments | None" = None
     # static-offset spring families (make_offset_springs) — the gather-free
     # spring pass for grid/chain topologies; applied IN ADDITION to
     # `springs` (use empty_springs(0) when all springs are offset families)

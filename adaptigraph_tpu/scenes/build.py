@@ -377,6 +377,28 @@ def attach_incidence(spec: SceneSpec, n: int) -> SceneSpec:
     if (spec.cluster_inc is None and spec.clusters.member.shape[0] > 0
             and spec.clusters.member.shape[1] > 0):
         spec = spec._replace(cluster_inc=build_cluster_incidence(spec.clusters, n))
+    # disjoint contiguous granule layouts (granular) get the segment form
+    # FIRST: its two-pass centered covariance is cancellation-free, which
+    # rigid granule stick-slip needs (the matmul form's displacement trick
+    # is close but the segment form is exact and cheaper at 32k)
+    c = spec.clusters.member.shape[0]
+    if (spec.cluster_seg is None and c > 0
+            and spec.clusters.member.shape[1] > 0):
+        from adaptigraph_tpu.engine.state import build_cluster_segments
+
+        seg = build_cluster_segments(spec.clusters, spec.rest_pos, n)
+        if seg is not None:
+            spec = spec._replace(cluster_seg=seg)
+    # overlapping covers (rope ball cover): membership-matrix pass — two
+    # MXU matmuls replace the (C, K) member gathers (measured 10x
+    # whole-frame win on the rope scene). Gated on matrix size.
+    if (spec.cluster_mm is None and spec.cluster_seg is None and c > 0
+            and spec.clusters.member.shape[1] > 0 and c * n <= 8_000_000):
+        from adaptigraph_tpu.engine.state import build_cluster_matmul
+
+        mm = build_cluster_matmul(spec.clusters, spec.rest_pos, n)
+        if mm is not None:
+            spec = spec._replace(cluster_mm=mm)
     return spec
 
 
@@ -395,6 +417,9 @@ def build_scene(material: str, rng: np.random.RandomState, shapes: ShapeSet | No
         scene.update(scene_overrides)
     particles, spec, n_active = _BUILDERS[material](scene, rng, caps)
     spec = attach_incidence(spec, caps.n)
+    from adaptigraph_tpu.engine.state import fold_global_cluster
+
+    spec = fold_global_cluster(spec, particles)
     # capacity-cap truncations are part of the episode's ground truth:
     # stamp them into property_params so preprocessing/training can see
     # the scene-distribution shift (VERDICT r1 weak #6)

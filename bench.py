@@ -33,22 +33,45 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_pbd(n=5000, t=100, substeps=2, iterations=4, trials=3):
-    """XPBD frames/s at the 5k-particle rope design point: a rope-lattice
-    particle layout (x-major coherent order, as the scene builders emit),
-    chain springs, floor plane, rope solver schedule (2 substeps x 4
-    iterations), block-sparse Pallas contact sweep + offset-family springs —
-    the same code path `SimEnv` runs."""
+def bench_pbd(n=5120, t=100, trials=3):
+    """XPBD frames/s at the 5k-particle rope design point — the REAL rope
+    scene the framework ships (scenes.build_scene: lattice + ball-cover
+    shape-matching clusters + global cluster + floor + pusher), length-
+    scaled to a 5120-particle cap, rope solver schedule (2 substeps x 4
+    iterations), with the box pusher SWEEPING THROUGH the rope across the
+    trajectory so kinematic-shape and particle contacts are genuinely
+    exercised (a resting rope's early-out contact path would flatter the
+    number). Same code path `SimEnv` runs for episode generation."""
     from adaptigraph_tpu.engine import rollout_steps
-    from scripts.bench_pbd_paths import make_case
+    from adaptigraph_tpu.engine.state import SHAPE_BOX, SHAPE_PLANE, make_shapes
+    from adaptigraph_tpu.scenes import build_scene
+    from adaptigraph_tpu.scenes.build import Caps
 
-    st, spec = make_case(n, "rope")
-    pos_traj = jnp.tile(st.shapes.pos[None], (t, 1, 1))
+    caps = Caps(n=n, s=0, c=1024, k=640, m=4)
+    shapes = make_shapes(
+        [SHAPE_PLANE, SHAPE_BOX],
+        [[0, 0, 0], [0.05, 0.4, 0.8]],
+        [[0, 0, 0], [0, 0.4, 0]],
+        [[0, 0, 0, 1], [0, 0, 0, 1]], m_max=caps.m)
+    b = build_scene("rope", np.random.RandomState(0), shapes=shapes, caps=caps,
+                    scene_overrides={"length": 6.0, "translation":
+                                     np.zeros(3, np.float32),
+                                     "z_rotation": 0.0, "y_rotation": 90.0})
+    st, spec = b.state, b.spec
+    center = np.asarray(st.particles.pos)[: b.n_active].mean(0)
+    # pusher sweeps across the rope's midline over the trajectory
+    xs = np.linspace(center[0] - 1.2, center[0] + 1.2, t, dtype=np.float32)
+    pos_traj = np.tile(np.asarray(st.shapes.pos)[None], (t, 1, 1))
+    pos_traj[:, 1, 0] = xs
+    pos_traj[:, 1, 1] = 0.35
+    pos_traj[:, 1, 2] = center[2]
+    pos_traj = jnp.asarray(pos_traj)
     quat_traj = jnp.tile(st.shapes.quat[None], (t, 1, 1))
 
     def run():
-        final, _ = rollout_steps(st, spec, pos_traj, quat_traj, substeps=substeps,
-                                 iterations=iterations, record=False)
+        final, _ = rollout_steps(st, spec, pos_traj, quat_traj,
+                                 substeps=b.substeps, iterations=b.iterations,
+                                 record=False)
         return float(jnp.sum(final.particles.pos))  # host sync
 
     run()

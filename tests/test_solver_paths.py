@@ -161,3 +161,66 @@ def test_offset_family_conversion_matches_spring_list():
         st_b = xpbd_step(st_b, spec_c, substeps=2, iterations=4)
     np.testing.assert_allclose(np.asarray(st_a.particles.pos),
                                np.asarray(st_b.particles.pos), atol=2e-5)
+
+
+def test_cluster_matmul_matches_gather_rope_scene():
+    """The membership-matrix cluster pass (solver._cluster_deltas_matmul)
+    must reproduce the gather formulation on a real rope scene, including
+    the folded-in global cluster (state.fold_global_cluster) — the algebra
+    in ClusterMatmul's docstring vs flexExtSoft.cpp:551,592-616."""
+    import jax
+
+    from adaptigraph_tpu.scenes.build import (
+        _BUILDERS, MATERIAL_CAPS, attach_incidence)
+    from adaptigraph_tpu.scenes.samplers import sample_scene
+    from adaptigraph_tpu.engine.state import fold_global_cluster
+    from adaptigraph_tpu.engine.solver import (
+        _cluster_deltas, _cluster_deltas_matmul, _global_cluster_deltas)
+
+    rng = np.random.RandomState(3)
+    scene, _ = sample_scene("rope", rng)
+    caps = MATERIAL_CAPS["rope"]
+    particles, spec0, _ = _BUILDERS["rope"](scene, rng, caps)
+    spec0 = attach_incidence(spec0, caps.n)
+    spec1 = fold_global_cluster(spec0, particles)
+    assert spec1.cluster_mm is not None
+    assert spec1.global_rest.shape[0] == 0  # global folded away
+    pos = particles.pos + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(0), particles.pos.shape)
+    rot0 = jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (caps.c, 1))
+    d1, c1, _ = _cluster_deltas(pos, spec0.clusters, rot0,
+                                inc=spec0.cluster_inc)
+    dg, cg, _ = _global_cluster_deltas(
+        pos, particles.active, particles.inv_mass, spec0.global_rest,
+        spec0.global_stiffness, jnp.array([0.0, 0, 0, 1.0]))
+    d2, c2, _ = _cluster_deltas_matmul(pos, spec1.rest_pos, spec1.clusters,
+                                       rot0, spec1.cluster_mm)
+    np.testing.assert_allclose(np.asarray(d1 + dg), np.asarray(d2), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(c1 + cg), np.asarray(c2), atol=1e-5)
+
+
+def test_cluster_segments_match_gather_granular_scene():
+    """The contiguous-segment cluster pass (granular granule layout) must
+    reproduce the gather formulation."""
+    import jax
+
+    from adaptigraph_tpu.scenes import build_scene
+    from adaptigraph_tpu.scenes.build import Caps
+    from adaptigraph_tpu.engine.state import build_cluster_segments
+    from adaptigraph_tpu.engine.solver import (
+        _cluster_deltas, _cluster_deltas_segments)
+
+    b = build_scene("granular", np.random.RandomState(5),
+                    caps=Caps(n=4096, s=0, c=256, k=640, m=8))
+    spec, st = b.spec, b.state
+    seg = build_cluster_segments(spec.clusters, spec.rest_pos, 4096)
+    assert seg is not None
+    pos = st.particles.pos + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(0), st.particles.pos.shape)
+    d1, c1, q1 = _cluster_deltas(pos, spec.clusters, st.cluster_rot,
+                                 inc=spec.cluster_inc)
+    d2, c2, q2 = _cluster_deltas_segments(pos, spec.rest_pos, spec.clusters,
+                                          st.cluster_rot, seg)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-3)
