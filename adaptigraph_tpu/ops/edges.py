@@ -124,6 +124,88 @@ def build_edges_batch(states, adj_thresh, mask, tool_mask, topk: int = 10,
     return jax.vmap(fn)(states, adj_thresh, mask, tool_mask)
 
 
+@partial(jax.jit, static_argnames=("topk", "connect_tools_all",
+                                   "tools_only_when_near", "tool_slots"))
+def build_edges_slotted(states, adj_thresh, mask, tool_mask, topk: int = 10,
+                        connect_tools_all: bool = False,
+                        tools_only_when_near: bool = False,
+                        tool_slots: int = 8) -> EdgeSet:
+    """Radius graph as a SLOTTED edge list: slot (i, k) holds receiver i's
+    k-th nearest candidate — no row-major compaction, so the O(N^2 log N)
+    stable argsort `build_edges` pays per call disappears (it dominated the
+    autoregressive rollout's per-step rebuild: measured ~10k -> ~30k+ graph
+    steps/s at reference scale).
+
+    The VALID EDGE SET is identical to `build_edges` (same radius + per-
+    receiver-topk + tool rules, src/dynamics/dataset/graph.py:53-156); only
+    the order and padding layout differ, which message passing cannot see
+    (gather + segment-sum are permutation-invariant). Two deliberate
+    deviations: capacity is N*topk + N*tool_slots instead of max_nR, and no
+    edges are dropped when a graph would overflow max_nR (the reference
+    truncates row-major). Use `build_edges` where reference-identical
+    enumeration order matters (dataset preprocessing, incidence parity).
+
+    tool_slots: static cap on tool senders handled by the connect_tools_all
+    block (>= the scene's tool-particle count; 8 covers the 5-point pusher).
+    """
+    n = states.shape[0]
+    diff = states[:, None, :] - states[None, :, :]
+    dis = jnp.sum(diff * diff, axis=-1)
+    pair_ok = mask[:, None] & mask[None, :]
+    tool_pair = tool_mask[:, None] & tool_mask[None, :]
+    dis_m = jnp.where(pair_ok, dis, _BIG)
+    dis_m = jnp.where(tool_pair, _BIG, dis_m)
+    thresh = jnp.asarray(adj_thresh, dtype=states.dtype) ** 2
+
+    k = min(n, topk)
+    neg_top, topk_idx = jax.lax.top_k(-dis_m, k)  # (N, K)
+    slot_valid = (-neg_top) < thresh  # within radius (already pair/tool masked)
+    recv = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None], (1, k))
+    send = topk_idx.astype(jnp.int32)
+
+    if connect_tools_all:
+        # the near gate mirrors graph.py:134-144: any tool-receiver edge to
+        # an object sender surviving radius+topk
+        tool_recv_slot = tool_mask[:, None] & slot_valid
+        if tools_only_when_near:
+            near = jnp.any(tool_recv_slot & ~tool_mask[send])
+        else:
+            near = jnp.array(True)
+        # drop tool receivers and tool senders from the radius slots
+        slot_valid = slot_valid & ~tool_mask[:, None] & ~tool_mask[send]
+        # obj receiver -> every tool sender (gated by `near`)
+        ts = min(n, tool_slots)
+        tscore, tidx = jax.lax.top_k(tool_mask.astype(states.dtype), ts)
+        t_send = jnp.tile(tidx.astype(jnp.int32)[None, :], (n, 1))  # (N, TS)
+        t_valid = ((tscore > 0.5)[None, :] & mask[:, None] & ~tool_mask[:, None]
+                   & near & mask[t_send])
+        t_recv = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None], (1, ts))
+        recv = jnp.concatenate([recv, t_recv], axis=1)
+        send = jnp.concatenate([send, t_send], axis=1)
+        slot_valid = jnp.concatenate([slot_valid, t_valid], axis=1)
+
+    valid = slot_valid.reshape(-1)
+    recv = jnp.where(valid, recv.reshape(-1), 0)
+    send = jnp.where(valid, send.reshape(-1), 0)
+    return EdgeSet(recv, send, valid)
+
+
+@partial(jax.jit, static_argnames=("topk", "connect_tools_all",
+                                   "tools_only_when_near", "tool_slots"))
+def build_edges_slotted_batch(states, adj_thresh, mask, tool_mask,
+                              topk: int = 10, connect_tools_all: bool = False,
+                              tools_only_when_near: bool = True,
+                              tool_slots: int = 8) -> EdgeSet:
+    """vmapped `build_edges_slotted` over a leading batch dim."""
+    b = states.shape[0]
+    adj_thresh = jnp.broadcast_to(jnp.asarray(adj_thresh, dtype=states.dtype), (b,))
+    fn = partial(build_edges_slotted, topk=topk,
+                 connect_tools_all=connect_tools_all,
+                 tools_only_when_near=tools_only_when_near,
+                 tool_slots=tool_slots)
+    return jax.vmap(fn)(states, adj_thresh, mask, tool_mask)
+
+
 def edges_to_incidence(edges: EdgeSet, n_nodes: int):
     """Dense (max_edges, N) one-hot Rr, Rs — parity shim for tests comparing
     against the reference's incidence representation."""

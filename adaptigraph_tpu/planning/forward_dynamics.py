@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from adaptigraph_tpu.ops import build_edges
+from adaptigraph_tpu.ops import build_edges_slotted as build_edges
 from adaptigraph_tpu.planning.actions import decode_action
 
 
@@ -94,9 +94,11 @@ def make_batched_dynamics(model, task_config, eef_y_mode: str = "min"):
             states = jnp.concatenate(
                 [obj_kp, jnp.tile(eef_kp[None], (n_his, 1, 1))], axis=1)
             delta = jnp.zeros((n, 3)).at[nobj:].set(eef_delta)
+            # slotted builder: same edge set as build_edges, no O(N^2 log N)
+            # compaction sort (capacity N*topk + tool slots, not max_nR)
             edges = build_edges(states[-1], adj_thresh, state_mask, eef_mask,
                                 topk=topk, connect_tools_all=cta,
-                                tools_only_when_near=True, max_edges=max_nR)
+                                tools_only_when_near=True)
 
             def body(ai, carry):
                 hist, edges_c, pred_rec = carry
@@ -112,7 +114,7 @@ def make_batched_dynamics(model, task_config, eef_y_mode: str = "min"):
                 states_cur = jnp.concatenate([pred, eef_cur], axis=0)
                 e = build_edges(states_cur, adj_thresh, state_mask, eef_mask,
                                 topk=topk, connect_tools_all=cta,
-                                tools_only_when_near=True, max_edges=max_nR)
+                                tools_only_when_near=True)
                 hist = jnp.concatenate([hist[1:], states_cur[None]], axis=0)
                 return hist, (e.receivers, e.senders, e.valid), pred_rec
 

@@ -16,6 +16,7 @@ GroundingDINO/SAM torch wrapper can be injected on hardware rigs.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -90,6 +91,37 @@ def depth_mask_segmenter(color: np.ndarray, depth_m: np.ndarray, table_height: f
     r, t = extr[:3, :3], extr[:3, 3]
     world_y = (cam - t) @ r[:, 1]
     return (z > 0) & (world_y > table_height + 0.02)
+
+
+def real_points_to_sim(points_m: np.ndarray, sim_real_ratio: float) -> np.ndarray:
+    """Real table-frame points (meters, y-up — the frame our ArUco board
+    calibration emits, objp lying in the xz-plane) -> sim units.
+
+    The reference's conversion (perception.py:335-337) scales by
+    sim_real_ratio and remaps its z-up board frame into the sim frame;
+    our board frame is already y-up, so only the scale applies here — the
+    planning-frame z-negation is flex_to_plan, applied by the caller
+    exactly as for sim states."""
+    return np.asarray(points_m, np.float32) * float(sim_real_ratio)
+
+
+def capture_goal(env, pm: "PerceptionModule", out_path: str | None = None):
+    """Capture the target point cloud from live frames — the reference's
+    construct_goal_from_perception (perception.py:352-397): observe all
+    cameras, fuse the segmented tabletop cloud, persist it for
+    plan.py's pcd target mode. Works identically against RealEnv hardware
+    and the SimCameraBackend/SimPlanEnv doubles.
+
+    Returns the (M, 3) cloud (env-native units: meters for RealEnv, sim
+    units for SimPlanEnv — plan.py scales by sim_real_ratio per its env)."""
+    colors, depths = env.get_obs()
+    pts = pm.get_tabletop_points(colors, depths, env.cam_intr, env.cam_extr)
+    if out_path:
+        base = os.path.dirname(out_path)
+        if base:
+            os.makedirs(base, exist_ok=True)
+        np.save(out_path, pts)
+    return pts
 
 
 class PerceptionModule:

@@ -63,6 +63,8 @@ class SimPlanEnv:
     """SimEnv wrapped behind the planning-environment interface
     (RealEnv.get_obs/step duals, real_env.py:127-240)."""
 
+    units = "sim"  # get_obs depths are in sim units (see plan() scaling)
+
     def __init__(self, data_gen_config, seed=0):
         from adaptigraph_tpu.sim.env import SimEnv
 
@@ -98,7 +100,21 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
                             dyn_config["dataset_config"]["data_name"], "checkpoints")
     params = load_checkpoint(ckpt_dir, ckpt, params0)
 
-    perception = PerceptionModule(tc)
+    # env-native units: SimPlanEnv perceives in sim units, RealEnv in table
+    # meters. Real states scale by sim_real_ratio before planning (the
+    # reference's perception.py:335-337 conversion), and the perception
+    # geometry params switch to meter scale (workspace = task bbox).
+    units = getattr(env, "units", "sim")
+    if units == "real":
+        bb = np.asarray(tc["bbox"], np.float32).reshape(2, 3)  # rows: min, max
+        ws = np.stack([np.minimum(bb[0], bb[1]), np.maximum(bb[0], bb[1])], axis=1)
+        perception = PerceptionModule(
+            tc, table_height=float(tc.get("table_height", 0.0)),
+            voxel=0.002, workspace=ws)
+        state_scale = sim_real_ratio
+    else:
+        perception = PerceptionModule(tc)
+        state_scale = 1.0
     ppm = PhysicsParamOnlineOptimizer(tc, model, params, material, save_dir)
     rollout = make_batched_dynamics(model, tc)
 
@@ -149,7 +165,7 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
     for i in range(start_i, n_actions):
         colors, depths, intrs, extrs = _observe(env)
         state_cur_raw, _ = perception.get_state_cur(colors, depths, intrs, extrs)
-        state_cur = flex_to_plan(state_cur_raw)
+        state_cur = flex_to_plan(state_cur_raw * state_scale)
         nobj = min(len(state_cur), max_nobj)
         state_pad = np.zeros((max_nobj, 3), np.float32)
         state_pad[:nobj] = state_cur[:nobj]
@@ -212,7 +228,7 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
 
         colors, depths, intrs, extrs = _observe(env)
         state_real_raw, _ = perception.get_state_cur(colors, depths, intrs, extrs)
-        state_real = flex_to_plan(state_real_raw)
+        state_real = flex_to_plan(state_real_raw * state_scale)
 
         ppm.log_interaction(i, act, state_cur[:nobj], state_pred[:nobj], state_real)
         err_fin = float(error_fn(jnp.asarray(state_real)[None])[0])
@@ -241,6 +257,9 @@ def main():
     ap.add_argument("--n-sample", type=int, default=None)
     ap.add_argument("--name", type=str, default="dump/plan")
     ap.add_argument("--ckpt", type=str, default="latest")
+    ap.add_argument("--capture-goal", type=str, default=None, metavar="OUT_NPY",
+                    help="capture the target pcd from live frames and exit "
+                         "(reference construct_goal_from_perception)")
     args = ap.parse_args()
 
     tc = load_config(args.task_config)["task_config"]
@@ -252,6 +271,12 @@ def main():
 
         env = RealEnv(task_config=tc)
         env.start()
+    if args.capture_goal:
+        from adaptigraph_tpu.planning.perception import capture_goal
+
+        pts = capture_goal(env, PerceptionModule(tc), args.capture_goal)
+        print(f"captured goal pcd: {len(pts)} points -> {args.capture_goal}")
+        return
     plan(tc, env, args.name, use_ppo=args.use_ppo, n_actions=args.n_actions,
          n_sample=args.n_sample, ckpt=args.ckpt, resume=args.resume)
 

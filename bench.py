@@ -90,7 +90,8 @@ def bench_gnn(batch=512, steps=20, trials=3):
     estimate from XLA's own flop count for the rollout program."""
     from adaptigraph_tpu.dynamics.model import DynamicsPredictor, ModelConfig
     from adaptigraph_tpu.dynamics.train import make_apply
-    from adaptigraph_tpu.ops import build_edges, build_edges_batch
+    from adaptigraph_tpu.ops import (build_edges_slotted,
+                                     build_edges_slotted_batch)
 
     cfg = ModelConfig(n_his=4, nf=150, pstep=3)
     model = DynamicsPredictor(cfg)
@@ -101,7 +102,7 @@ def bench_gnn(batch=512, steps=20, trials=3):
     attrs = jnp.zeros((n, 2)).at[:n_obj, 0].set(1.0).at[n_obj:, 1].set(1.0)
     sm = jnp.ones(n, bool)
     em = jnp.zeros(n, bool).at[n_obj:].set(True)
-    e = build_edges(state[-1], 0.5, sm, em, topk=10, max_edges=1000)
+    e = build_edges_slotted(state[-1], 0.5, sm, em, topk=10)
     action = jnp.zeros((n, 3))
     params = model.init(jax.random.PRNGKey(1), state, attrs, e.receivers, e.senders,
                         e.valid, jnp.ones((n_obj, 1)), jnp.array([0.5]),
@@ -124,8 +125,9 @@ def bench_gnn(batch=512, steps=20, trials=3):
                 params, dict(gb, state=st, recv=recv, send=send, edge_valid=ev))
             nxt = st[:, -1].at[:, :n_obj].set(pred)
             # per-step radius edge rebuild from the predicted state, exactly
-            # like the planning rollout (forward_dynamics.py:113)
-            eb = build_edges_batch(nxt, 0.5, sm_b, em_b, topk=10, max_edges=1000)
+            # like the planning rollout (forward_dynamics.py:113) — slotted
+            # builder (same edge set, no O(N^2 log N) compaction sort)
+            eb = build_edges_slotted_batch(nxt, 0.5, sm_b, em_b, topk=10)
             st = jnp.concatenate([st[:, 1:], nxt[:, None]], axis=1)
             return (st, eb.receivers, eb.senders, eb.valid), None
 

@@ -248,3 +248,47 @@ class TestLosses:
         y = x[rng.permutation(16)]
         got = np.asarray(earth_mover_distance(jnp.array(x), jnp.array(y), eps=0.005, iters=200))
         assert got < 0.05  # exact EMD is 0 for a permutation
+
+
+class TestSlottedEdges:
+    """build_edges_slotted must produce the SAME valid edge set as
+    build_edges (graph.py:53-156 semantics) — only order/padding differ."""
+
+    def _edge_set(self, edges):
+        r = np.asarray(edges.receivers)[np.asarray(edges.valid)]
+        s = np.asarray(edges.senders)[np.asarray(edges.valid)]
+        return set(zip(r.tolist(), s.tolist()))
+
+    def _case(self, seed, cta, near_gate, far_tool=False):
+        from adaptigraph_tpu.ops import build_edges, build_edges_slotted
+
+        rng = np.random.RandomState(seed)
+        n_obj, n_tool = 40, 3
+        n = n_obj + n_tool
+        pts = rng.rand(n, 3).astype(np.float32)
+        if far_tool:
+            pts[n_obj:] += 10.0  # tool far away: near gate must drop edges
+        mask = np.ones(n, bool)
+        mask[n_obj - 3:n_obj] = False  # padded objects
+        tool = np.zeros(n, bool)
+        tool[n_obj:] = True
+        a = build_edges(jnp.array(pts), 0.35, jnp.array(mask), jnp.array(tool),
+                        topk=6, connect_tools_all=cta,
+                        tools_only_when_near=near_gate, max_edges=4000)
+        b = build_edges_slotted(jnp.array(pts), 0.35, jnp.array(mask),
+                                jnp.array(tool), topk=6,
+                                connect_tools_all=cta,
+                                tools_only_when_near=near_gate)
+        assert self._edge_set(a) == self._edge_set(b)
+
+    def test_plain_radius_topk(self):
+        for seed in range(3):
+            self._case(seed, cta=False, near_gate=False)
+
+    def test_connect_tools_all(self):
+        for seed in range(3):
+            self._case(seed, cta=True, near_gate=False)
+
+    def test_connect_tools_near_gate(self):
+        self._case(0, cta=True, near_gate=True)
+        self._case(0, cta=True, near_gate=True, far_tool=True)
