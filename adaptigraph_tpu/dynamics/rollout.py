@@ -265,7 +265,34 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
         med = np.nanmedian(mat, axis=0)
         np.savetxt(os.path.join(out_dir, "error_median.txt"), med)
         print(f"median error over horizon: start {med[0]:.4f} end {med[-1]:.4f}")
+        save_error_plot(all_errors, out_dir)
     return all_errors
+
+
+def save_error_plot(all_errors, out_dir, save_name="error_short"):
+    """Median + 25/75-percentile band over the rollout horizon — the
+    reference's error_short.txt/png artifacts (rollout.py:244-273: rows are
+    pushes truncated to the shortest horizon, columns time steps)."""
+    min_step = min(len(e) for e in all_errors)
+    if min_step == 0:
+        return
+    step_error = np.stack([np.asarray(e[:min_step]) for e in all_errors], axis=1)
+    np.savetxt(os.path.join(out_dir, f"{save_name}.txt"), step_error)
+    median = np.median(step_error, axis=1)
+    p75 = np.percentile(step_error, 75, axis=1)
+    p25 = np.percentile(step_error, 25, axis=1)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(10, 5))
+    plt.plot(median)
+    plt.xlabel("time step")
+    plt.ylabel("error")
+    plt.grid()
+    plt.gca().fill_between(np.arange(len(median)), p25, p75, alpha=0.2)
+    plt.savefig(os.path.join(out_dir, f"{save_name}.png"), dpi=300)
+    plt.close()
 
 
 if __name__ == "__main__":

@@ -223,6 +223,28 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
         reward = float(res["best_eval_output"]["reward_seqs"][0])
         print(f"action {i}: act {np.round(act, 3)} reward {reward:.4f}", flush=True)
 
+        # planning overlay (plan_utils.py:104-281): init/pred/target/arrows
+        try:
+            from adaptigraph_tpu.utils.visualize import overlay_plan
+
+            tgt_pcd = tgt_box = None
+            if reward_mode == "target" and tc["target_type"] == "box":
+                tgt_box = np.asarray(tc["target"], np.float32) * sim_real_ratio
+            elif reward_mode == "target":
+                tgt_pcd = np.load(tc["target"]) * sim_real_ratio
+            vis = overlay_plan(
+                colors[0], state_cur[:nobj], state_pred[:nobj], act,
+                intrs[0], extrs[0], target_state=tgt_pcd, target_box=tgt_box,
+                push_length=float(tc["push_length"]),
+                adj_thresh=float(tc["adj_thresh"]), topk=int(tc["topk"]),
+                units=units, sim_real_ratio=sim_real_ratio)
+            import cv2
+
+            cv2.imwrite(os.path.join(save_dir, f"rgb_vis_{i}.png"),
+                        vis[..., ::-1])
+        except Exception as e:  # viz must never kill the control loop
+            print(f"overlay failed: {e}", flush=True)
+
         xs, zs, xe, ze = decode_action_single(act, float(tc["push_length"]))
         env.step(np.array([xs, zs, xe, ze]))
 

@@ -269,3 +269,43 @@ class TestHandEye:
             assert pts.shape[1] == 3
         finally:
             env.stop()
+
+
+class TestPlanOverlay:
+    def test_overlay_plan_reference_richness(self, tmp_path):
+        """overlay_plan must render dots+edges for init/pred, per-repeat
+        action arrows, target pcd and target box layers (plan_utils.py
+        :104-281) without error, modifying the frame."""
+        import cv2
+        from adaptigraph_tpu.utils.visualize import overlay_plan
+
+        rng = np.random.RandomState(0)
+        img = np.zeros((240, 240, 3), np.uint8)
+        intr = np.array([200.0, 200.0, 120.0, 120.0], np.float32)
+        extr = np.eye(4, dtype=np.float32)
+        extr[:3, 3] = [0, -1.0, -6.0]  # camera looking at the workspace
+        state = rng.rand(12, 3).astype(np.float32)
+        pred = state + 0.1
+        tgt = state + 0.3
+        act = np.array([0.2, 0.1, 0.5, 3.0], np.float32)  # 3 repeats
+        out = overlay_plan(img, state, pred, act, intr, extr,
+                           target_state=tgt, adj_thresh=0.6, topk=4)
+        assert out.shape == img.shape and out.sum() > 0
+        out2 = overlay_plan(img, state, pred, act, intr, extr,
+                            target_box=np.array([[-0.5, 0.5], [-0.5, 0.5]]),
+                            adj_thresh=0.6, topk=4)
+        assert out2.sum() > 0
+        cv2.imwrite(str(tmp_path / "vis.png"), out2)
+
+
+class TestErrorPlot:
+    def test_median_iqr_artifacts(self, tmp_path):
+        """save_error_plot writes the reference's error_short.txt/png
+        (rollout.py:244-273)."""
+        from adaptigraph_tpu.dynamics.rollout import save_error_plot
+
+        errs = [list(np.linspace(0.1, 0.5, 20 + i)) for i in range(5)]
+        save_error_plot(errs, str(tmp_path))
+        mat = np.loadtxt(tmp_path / "error_short.txt")
+        assert mat.shape == (20, 5)
+        assert (tmp_path / "error_short.png").exists()
