@@ -154,18 +154,88 @@ def bench_gnn(batch=512, steps=20, trials=3):
     return best, flops_per_s
 
 
+def bench_mppi(n_sample=20000, trials=3):
+    """MPPI population throughput at the reference planning load
+    (BASELINE.md third target): 20 000 action samples, look-ahead 1, rope
+    task config, full population rolled out + scored as ONE vmapped program
+    (replacing the reference's sequential 500-sample chunks,
+    src/planning/plan.py:241-247). Reports samples/s for a complete
+    rollout+evaluate pass with per-repeat edge rebuild on."""
+    from adaptigraph_tpu.dynamics.model import DynamicsPredictor, ModelConfig
+    from adaptigraph_tpu.ops import build_edges_slotted
+    from adaptigraph_tpu.planning.costs import PENALTIES, running_cost
+    from adaptigraph_tpu.planning.forward_dynamics import make_batched_dynamics
+    from adaptigraph_tpu.utils import load_config
+
+    tc = load_config("planning/rope")["task_config"]
+    cfg = ModelConfig(n_his=int(tc["n_his"]), nf=150, pstep=3)
+    model = DynamicsPredictor(cfg)
+    nobj = int(tc["max_nobj"])
+    key = jax.random.PRNGKey(0)
+    state = jax.random.normal(key, (nobj, 3)) * 0.3
+    obj_mask = jnp.ones(nobj, bool)
+
+    n_eef = len(tc["pusher_points"])
+    n = nobj + n_eef
+    st4 = jnp.tile(jnp.concatenate([state, jnp.zeros((n_eef, 3))])[None],
+                   (cfg.n_his, 1, 1))
+    attrs = jnp.zeros((n, 2)).at[:nobj, 0].set(1.0).at[nobj:, 1].set(1.0)
+    e = build_edges_slotted(st4[-1], float(tc["adj_thresh"]),
+                            jnp.ones(n, bool),
+                            jnp.zeros(n, bool).at[nobj:].set(True),
+                            topk=int(tc["topk"]))
+    params = model.init(jax.random.PRNGKey(1), st4, attrs, e.receivers,
+                        e.senders, e.valid, jnp.ones((nobj, 1)),
+                        jnp.array([0.5]), action=jnp.zeros((n, 3)))["params"]
+
+    rollout = make_batched_dynamics(model, tc)
+    penalty_fn = PENALTIES[tc["penalty_type"]]
+    bbox = jnp.asarray([[-4.5, 4.5], [-4.5, 4.5]])
+    target = state + jnp.array([0.5, 0.0, 0.5])
+
+    def error_fn(s, mask=None):
+        from adaptigraph_tpu.ops import chamfer
+
+        tgt = jnp.tile(target[None], (s.shape[0], 1, 1))
+        return chamfer(s, tgt, x_mask=mask)
+
+    lo = jnp.asarray(tc["action_lower_lim"], jnp.float32)
+    hi = jnp.asarray(tc["action_upper_lim"], jnp.float32)
+    n_look = int(tc["n_look_ahead"])
+
+    @jax.jit
+    def one_pass(params, acts):
+        out = rollout(params, state, obj_mask, acts, jnp.array([0.5]))
+        rew = running_cost(out["state_seqs"], acts, state, error_fn,
+                           penalty_fn, bbox, obj_mask=obj_mask)["reward_seqs"]
+        return jnp.argmax(rew), jnp.max(rew)
+
+    acts = jax.random.uniform(jax.random.PRNGKey(2), (n_sample, n_look, 4),
+                              minval=lo, maxval=hi)
+    i, r = one_pass(params, acts)
+    float(r)
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.time()
+        i, r = one_pass(params, acts)
+        float(r)
+        best = max(best, n_sample / (time.time() - t0))
+    return best
+
+
 def main():
     backend = jax.default_backend()
     pbd = bench_pbd()
     gnn, gnn_flops_per_s = bench_gnn()
+    mppi = bench_mppi()
     combined = pbd + gnn
     # v5e (TPU v5 lite) peak: ~197 TFLOP/s bf16 / ~98.5 f32 MXU. The GNN
     # runs f32; report utilization against the f32 peak.
     peak_f32 = 98.5e12
     mfu = gnn_flops_per_s / peak_f32 if gnn_flops_per_s == gnn_flops_per_s else None
     print(json.dumps({
-        "metric": "combined PBD+GNN rollout steps/s (5k-particle XPBD w/ "
-                  "cell-list neighbors + batched 100-node GNN w/ per-step "
+        "metric": "combined PBD+GNN rollout steps/s (real 5120-particle rope "
+                  "scene w/ swept pusher + batched 100-node GNN w/ per-step "
                   "edge rebuild) per chip",
         "value": round(combined, 1),
         "unit": "steps/s",
@@ -173,6 +243,7 @@ def main():
         "pbd_steps_per_s": round(pbd, 1),
         "gnn_graph_steps_per_s": round(gnn, 1),
         "gnn_mfu_f32": round(mfu, 4) if mfu is not None else None,
+        "mppi_samples_per_s": round(mppi, 1),
         "backend": backend,
     }))
 
