@@ -26,16 +26,44 @@ class GaussianProcess:
         self.length_scale = length_scale
         self.noise = noise
 
-    def fit(self, x, y):
+    def fit(self, x, y, optimize_hypers: bool = False):
         self.x = np.atleast_2d(np.asarray(x, np.float64))
         y = np.asarray(y, np.float64)
         self.y_mean, self.y_std = y.mean(), y.std() + 1e-12
         self.y = (y - self.y_mean) / self.y_std
+        if optimize_hypers:
+            self._optimize_hypers()
+        self._refit()
+        return self
+
+    def _refit(self):
         k = _matern52(self.x, self.x, self.length_scale)
         k[np.diag_indices_from(k)] += self.noise / (self.y_std**2) + 1e-8
         self.l = np.linalg.cholesky(k)
         self.alpha = np.linalg.solve(self.l.T, np.linalg.solve(self.l, self.y))
-        return self
+
+    def _optimize_hypers(self):
+        """Grid marginal-likelihood maximization over (length_scale, noise)
+        — the role of the reference's n_restarts_optimizer=10 GP refit
+        (physics_param_optimizer.py:94); a fixed length scale over-smooths
+        the posterior mean and drags expected_minimum off the optimum."""
+        span = float(np.ptp(self.x, axis=0).max()) or 1.0
+        best = (self.length_scale, self.noise, -np.inf)
+        noise0 = max(self.noise, 1e-10)
+        for ls in span * np.array([0.05, 0.1, 0.2, 0.4, 0.8, 1.5]):
+            for nz in [noise0 * f for f in (0.01, 0.1, 1.0)]:
+                k = _matern52(self.x, self.x, ls)
+                k[np.diag_indices_from(k)] += nz / (self.y_std**2) + 1e-8
+                try:
+                    l = np.linalg.cholesky(k)
+                except np.linalg.LinAlgError:
+                    continue
+                a = np.linalg.solve(l.T, np.linalg.solve(l, self.y))
+                ll = (-0.5 * float(self.y @ a)
+                      - float(np.sum(np.log(np.diag(l)))))
+                if ll > best[2]:
+                    best = (ls, nz, ll)
+        self.length_scale, self.noise = best[0], best[1]
 
     def predict(self, xq):
         xq = np.atleast_2d(np.asarray(xq, np.float64))
@@ -83,7 +111,7 @@ def gp_minimize_ei(func, bounds, n_calls: int = 50, n_initial: int = 20,
 
     gp = GaussianProcess(length_scale=1.0, noise=noise_level**2)
     while len(xs) < n_calls:
-        gp.fit(np.array(xs), np.array(ys))
+        gp.fit(np.array(xs), np.array(ys), optimize_hypers=True)
         cand = sample(n_candidates)
         mu, sigma = gp.predict(cand)
         best = min(ys)
@@ -93,7 +121,7 @@ def gp_minimize_ei(func, bounds, n_calls: int = 50, n_initial: int = 20,
         xs.append(x_next)
         ys.append(float(func(x_next)))
 
-    gp.fit(np.array(xs), np.array(ys))
+    gp.fit(np.array(xs), np.array(ys), optimize_hypers=True)
     cand = np.concatenate([sample(8192), np.array(xs)], axis=0)
     mu, _ = gp.predict(cand)
     expected_x = cand[int(np.argmin(mu))]

@@ -224,3 +224,59 @@ class TestBatchedDynamics:
                                    np.asarray(state), atol=1e-6)
         # sample 0 with 3 repeats should have moved (random model output != 0)
         assert np.abs(np.asarray(out["state_seqs"][0, 0]) - np.asarray(state)).max() > 1e-5
+
+
+class TestPPORecovery:
+    def test_ppo_recovers_known_param(self, tmp_path):
+        """End-to-end physics-param estimation acceptance (the sim-world
+        analogue of the reference's coffee-bean demo value, README.md:
+        246-258): synthesize interactions whose 'real' outcomes come from
+        the model itself at a KNOWN physics parameter, then assert
+        PhysicsParamOnlineOptimizer.optimize recovers it within tolerance
+        and reduces the replay error."""
+        from adaptigraph_tpu.dynamics.model import DynamicsPredictor, ModelConfig
+        from adaptigraph_tpu.planning.forward_dynamics import make_masked_replay
+        from adaptigraph_tpu.planning.physics_optimizer import (
+            PhysicsParamOnlineOptimizer)
+
+        cfg = ModelConfig(n_his=4, nf=16, pstep=1)
+        model = DynamicsPredictor(cfg)
+        task = {
+            "pusher_points": [[0.0, 0.0, 0.1]], "sim_real_ratio": 10,
+            "push_length": 0.2, "adj_thresh": 0.5, "topk": 5,
+            "connect_tools_all": False, "max_nR": 200, "n_his": 4,
+            "gripper_enable": False, "max_nobj": 24,
+            "material_dims": {"rope": 1},
+            "action_lower_lim": [-4.5, -2.5, -3.14, 2],
+            "action_upper_lim": [0.0, 4.5, 3.14, 4],
+        }
+        nobj = 24
+        rng = np.random.RandomState(0)
+        state = rng.rand(nobj, 3).astype(np.float32)
+        from adaptigraph_tpu.ops import build_edges
+        st4 = jnp.tile(jnp.asarray(state)[None], (4, 1, 1))
+        full = jnp.concatenate([st4, jnp.zeros((4, 1, 3))], axis=1)
+        e = build_edges(full[-1], 0.5, jnp.ones(nobj + 1, bool),
+                        jnp.zeros(nobj + 1, bool).at[nobj].set(True), topk=5,
+                        max_edges=200)
+        params = model.init(jax.random.PRNGKey(0), full,
+                            jnp.zeros((nobj + 1, 2)), e.receivers, e.senders,
+                            e.valid, jnp.ones((nobj, 1)), jnp.array([0.5]),
+                            action=jnp.zeros((nobj + 1, 3)))["params"]
+
+        true_p = 0.85
+        replay = make_masked_replay(model, task)
+        ppm = PhysicsParamOnlineOptimizer(task, model, params, "rope",
+                                          str(tmp_path))
+        acts = [np.array([-1.0, 0.5, 0.3, 3.0], np.float32),
+                np.array([-2.0, 1.0, -0.5, 3.0], np.float32),
+                np.array([-1.5, 2.0, 1.2, 4.0], np.float32)]
+        mask = jnp.ones((1, nobj), bool)
+        for i, a in enumerate(acts):
+            out = replay(params, jnp.asarray(state)[None], mask,
+                         jnp.asarray(a)[None], jnp.full((1, 1), true_p))
+            real = np.asarray(out["state_seqs"][0])
+            ppm.log_interaction(i, a, state, real, real)
+        p_est, err, err0 = ppm.optimize(len(acts) - 1, iterations=30)
+        assert err < err0, f"replay error must decrease: {err0} -> {err}"
+        assert abs(float(p_est[0]) - true_p) < 0.15, (p_est, true_p)
