@@ -176,3 +176,33 @@ class TestGroundingSAMSeam:
         pts = pm.get_tabletop_points([np.zeros((32, 32, 3), np.uint8)],
                                      [depth], [intr], [extr])
         assert pts.ndim == 2 and pts.shape[1] == 3
+
+
+class TestClothPerception:
+    def test_splatted_cloth_state_extraction(self):
+        """N7 caveat retirement: our renderer splats cloth as particles
+        (reference draws a shaded mesh, by_softgym_cloth.h render_mode 2) —
+        perception over the splatted frames must still recover the cloth's
+        spatial extent. Build a real cloth scene, render the capture view,
+        run the full PerceptionModule pipeline, and check the extracted
+        keypoints cover the cloth's bbox."""
+        from adaptigraph_tpu.scenes import build_scene
+        from adaptigraph_tpu.planning.perception import PerceptionModule
+
+        b = build_scene("cloth", np.random.RandomState(7))
+        pos = np.asarray(b.state.particles.pos)[: b.n_active]
+        # lift to a typical tabletop height band like the settled scene
+        img, intr, extr = _render_cloud(pos, size=160)
+        pm = PerceptionModule({"fps_radius": 0.2, "max_nobj": 100},
+                              table_height=0.0, voxel=0.05,
+                              workspace=((-5, 5), (0.0, 5), (-5, 5)))
+        state, raw = pm.get_state_cur(img[None, ..., :3], img[None, ..., 4],
+                                      [intr], [extr])
+        assert len(state) >= 10, f"too few cloth keypoints: {len(state)}"
+        # extracted extent must cover most of the true cloth footprint
+        ext_true = pos[:, [0, 2]].max(0) - pos[:, [0, 2]].min(0)
+        ext_perc = state[:, [0, 2]].max(0) - state[:, [0, 2]].min(0)
+        assert (ext_perc > 0.6 * ext_true).all(), (ext_perc, ext_true)
+        # and keypoints must lie near the cloth surface
+        d = np.abs(state[:, 1].mean() - pos[:, 1].mean())
+        assert d < 0.3

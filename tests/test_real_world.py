@@ -309,3 +309,55 @@ class TestErrorPlot:
         mat = np.loadtxt(tmp_path / "error_short.txt")
         assert mat.shape == (20, 5)
         assert (tmp_path / "error_short.png").exists()
+
+
+class TestTimestampAccumulators:
+    def test_tick_fill_with_dropped_frames(self):
+        """A sample serves every uncovered tick up to its own (reference
+        get_accumulate_timestamp_idxs semantics: dropped frames repeat)."""
+        from adaptigraph_tpu.planning.real_world.timestamp import (
+            tick_fill_indices)
+
+        # ticks at dt=0.1 from t0=0: samples at ticks 0, 1, 4 (2,3 dropped)
+        local, ticks, nxt = tick_fill_indices([0.0, 0.1, 0.4], 0.0, 0.1)
+        assert ticks == [0, 1, 2, 3, 4]
+        assert local == [0, 1, 2, 2, 2]  # sample 2 repeats for ticks 2-4
+        assert nxt == 5
+        # resume: next put continues from tick 5
+        local, ticks, nxt = tick_fill_indices([0.52, 0.61], 0.0, 0.1,
+                                              next_tick=nxt)
+        assert ticks == [5, 6] and local == [0, 1] and nxt == 7
+
+    def test_obs_accumulator_growing_aligned(self):
+        from adaptigraph_tpu.planning.real_world.timestamp import (
+            ObsAccumulator)
+
+        acc = ObsAccumulator(start_time=0.0, dt=0.1)
+        acc.put({"x": np.array([[1.0], [2.0]])}, [0.0, 0.1])
+        acc.put({"x": np.array([[5.0]])}, [0.42])  # ticks 2,3,4 all -> 5.0
+        assert len(acc) == 5
+        np.testing.assert_allclose(acc.data["x"].ravel(),
+                                   [1.0, 2.0, 5.0, 5.0, 5.0])
+        np.testing.assert_allclose(acc.timestamps,
+                                   [0.0, 0.1, 0.2, 0.3, 0.4])
+
+    def test_action_accumulator_overwrites(self):
+        from adaptigraph_tpu.planning.real_world.timestamp import (
+            ActionAccumulator)
+
+        acc = ActionAccumulator(start_time=0.0, dt=0.1)
+        acc.put(np.array([[1.0], [2.0], [3.0]]), [0.0, 0.1, 0.2])
+        # re-plan overwrites ticks 1-2
+        acc.put(np.array([[9.0], [8.0]]), [0.1, 0.2])
+        np.testing.assert_allclose(acc.actions.ravel(), [1.0, 9.0, 8.0])
+
+    def test_align_to_ticks_pads_and_truncates(self):
+        from adaptigraph_tpu.planning.real_world.timestamp import (
+            align_to_ticks)
+
+        # ticks 0..4 requested from samples covering ticks 0..2
+        local = align_to_ticks([0.0, 0.1, 0.2], [0, 1, 2, 3, 4], 0.0, 0.1)
+        assert local == [0, 1, 2, 2, 2]  # pad with last sample
+        # more samples than requested ticks: truncation
+        local = align_to_ticks([0.0, 0.1, 0.2, 0.3], [0, 1], 0.0, 0.1)
+        assert local == [0, 1]
