@@ -280,3 +280,75 @@ class TestPPORecovery:
         p_est, err, err0 = ppm.optimize(len(acts) - 1, iterations=30)
         assert err < err0, f"replay error must decrease: {err0} -> {err}"
         assert abs(float(p_est[0]) - true_p) < 0.15, (p_est, true_p)
+
+
+class TestClothGripperPlan:
+    def test_gripper_task_config_rollout(self):
+        """Cloth plan smoke: the gripper task-config path (planning/cloth.yaml
+        schema: gripper_enable, 1-point grasper) must roll out through the
+        batched dynamics and the planner without shape errors."""
+        from adaptigraph_tpu.dynamics.model import DynamicsPredictor, ModelConfig
+        from adaptigraph_tpu.planning.forward_dynamics import make_batched_dynamics
+        from adaptigraph_tpu.planning.planner import Planner
+        from adaptigraph_tpu.utils import load_config
+
+        tc = dict(load_config("planning/cloth")["task_config"])
+        assert tc["gripper_enable"] is True
+        tc["max_nobj"] = 20
+        cfg = ModelConfig(n_his=int(tc["n_his"]), nf=16, pstep=1)
+        model = DynamicsPredictor(cfg)
+        nobj = 20
+        rng = np.random.RandomState(0)
+        state = jnp.asarray(rng.rand(nobj, 3), jnp.float32)
+        mask = jnp.ones(nobj, bool)
+        n_eef = len(tc["pusher_points"])
+        full = jnp.tile(jnp.concatenate([state, jnp.zeros((n_eef, 3))])[None],
+                        (cfg.n_his, 1, 1))
+        from adaptigraph_tpu.ops import build_edges_slotted
+        e = build_edges_slotted(full[-1], float(tc["adj_thresh"]),
+                                jnp.ones(nobj + n_eef, bool),
+                                jnp.zeros(nobj + n_eef, bool).at[nobj:].set(True),
+                                topk=int(tc["topk"]))
+        params = model.init(jax.random.PRNGKey(0), full,
+                            jnp.zeros((nobj + n_eef, 2)), e.receivers,
+                            e.senders, e.valid, jnp.ones((nobj, 1)),
+                            jnp.array([0.5]),
+                            action=jnp.zeros((nobj + n_eef, 3)))["params"]
+        rollout = make_batched_dynamics(model, tc)
+        lo = jnp.asarray(tc["action_lower_lim"], jnp.float32)
+        hi = jnp.asarray(tc["action_upper_lim"], jnp.float32)
+        acts = jax.random.uniform(jax.random.PRNGKey(1), (8, 1, 4),
+                                  minval=lo, maxval=hi)
+        out = rollout(params, state, mask, acts, jnp.array([0.5]))
+        assert out["state_seqs"].shape == (8, 1, nobj, 3)
+        assert np.isfinite(np.asarray(out["state_seqs"])).all()
+
+        # one MPPI iteration over the gripper rollout
+        from adaptigraph_tpu.planning.costs import PENALTIES, running_cost
+        from adaptigraph_tpu.ops import chamfer
+
+        target = state + jnp.array([0.3, 0.0, 0.3])
+
+        def error_fn(s, mask=None):
+            t = jnp.tile(target[None], (s.shape[0], 1, 1))
+            return chamfer(s, t, x_mask=mask)
+
+        bbox = jnp.asarray([[-4.5, 4.5], [-4.5, 4.5]])
+        planner = Planner({
+            "action_dim": 4,
+            "model_rollout_fn": lambda sc, a: rollout(params, state, mask, a,
+                                                      jnp.array([0.5])),
+            "evaluate_traj_fn": lambda ss, aa, **kw: running_cost(
+                ss["state_seqs"] if isinstance(ss, dict) else ss, aa, state,
+                error_fn, PENALTIES[tc["penalty_type"]], bbox, obj_mask=mask),
+            "n_sample": 8, "n_look_ahead": 1, "n_update_iter": 1,
+            "reward_weight": float(tc["reward_weight"]),
+            "action_lower_lim": np.asarray(tc["action_lower_lim"], np.float32),
+            "action_upper_lim": np.asarray(tc["action_upper_lim"], np.float32),
+            "planner_type": "MPPI", "noise_level": float(tc["noise_level"]),
+            "push_length": float(tc["push_length"]),
+        })
+        res = planner.trajectory_optimization(
+            state, jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0, lo[3]]], jnp.float32),
+                            (1, 1)), key=jax.random.PRNGKey(2))
+        assert np.isfinite(float(res["best_eval_output"]["reward_seqs"][0]))
