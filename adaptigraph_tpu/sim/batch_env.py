@@ -377,7 +377,18 @@ def main():
     config = load_config(args.config)
     for lo in range(args.base, args.base + args.n_episode, args.batch):
         seeds = list(range(lo, min(lo + args.batch, args.base + args.n_episode)))
-        generate_batch(config, seeds, args.out)
+        try:
+            generate_batch(config, seeds, args.out)
+        except Exception as e:  # e.g. remote TPU worker crash/restart —
+            # skip the batch, give the worker time to come back, continue
+            # the campaign (episodes are independent; settle-only dirs are
+            # skipped by preprocess)
+            import traceback
+
+            traceback.print_exc()
+            print(f"batch {seeds} failed ({e}); waiting for worker recovery",
+                  flush=True)
+            time.sleep(120)
 
 
 if __name__ == "__main__":
