@@ -218,6 +218,108 @@ def _make_block_sparse_kernel(tile: int):
     return kernel
 
 
+def _make_refine_kernel(tile: int):
+    def kernel(scal_ref, cnt_ref, idx_ref, rows_ref, cols_ref, out_ref):
+        """Pair-level refinement of one row tile's AABB-admitted col blocks.
+
+        Runs the detection stage of the block-sparse sweep ONCE with the
+        inflated keep distance and flags which admitted blocks contain at
+        least one ELIGIBLE near pair (distance + group/self-collide/rest
+        filter + inv-mass + active — identical eligibility math to the
+        sweep kernel). Blocks with no such pair produce exactly zero in the
+        per-iteration sweep, so dropping them is lossless up to the
+        per-frame drift assumption shared with tile_overlap_blocks (NvFlex
+        finds neighbors once per NvFlexUpdateSolver frame the same way).
+
+        scal_ref: (1, 4) SMEM [keep_dist, _, filter_dist, n]
+        cnt_ref:  (nb, 1) SMEM; idx_ref: (nb, MAXB) SMEM
+        rows_ref: (tile, 16); cols_ref: (16, N_pad)
+        out_ref:  (8, MAXB_pad) f32 — 1.0 where slot k's block survives
+        (8 identical sublane rows: Mosaic requires sublane blocks of 8)
+        """
+        i = pl.program_id(0)
+        keep_dist = scal_ref[0, 0]
+        filter_dist = scal_ref[0, 2]
+        r = rows_ref[:]
+        xi, yi, zi = r[:, 0:1], r[:, 1:2], r[:, 2:3]
+        maxb = out_ref.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, maxb), 1)
+
+        def body(k, flags):
+            j = idx_ref[i, k]
+            c = cols_ref[:, pl.ds(pl.multiple_of(j * tile, tile), tile)]
+            dx = xi - c[0:1, :]
+            dy = yi - c[1:2, :]
+            dz = zi - c[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            same_group = jnp.abs(r[:, 6:7] - c[6:7, :]) < 0.5
+            pair_sc = (r[:, 8:9] > 0.5) & (c[8:9, :] > 0.5)
+            rdx = r[:, 9:10] - c[9:10, :]
+            rdy = r[:, 10:11] - c[10:11, :]
+            rdz = r[:, 11:12] - c[11:12, :]
+            rest_near = (rdx * rdx + rdy * rdy + rdz * rdz
+                         < filter_dist * filter_dist)
+            collide = (~same_group) | (pair_sc & ~rest_near)
+            wsum = r[:, 7:8] + c[7:8, :]
+            near = ((d2 < keep_dist * keep_dist) & (d2 > 1e-14) & collide
+                    & (wsum > 0.0)
+                    & (r[:, 12:13] > 0.5) & (c[12:13, :] > 0.5))
+            flag = jnp.where(jnp.any(near), 1.0, 0.0)
+            return jnp.where(lane == k, flag, flags)
+
+        flags = jax.lax.fori_loop(0, cnt_ref[i, 0], body,
+                                  jnp.zeros((1, maxb), jnp.float32))
+        out_ref[:] = jnp.broadcast_to(flags, out_ref.shape)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret", "tile"))
+def refine_overlap_blocks(pos, pos_prev, group, inv_mass, self_collide, active,
+                          rest_pos, keep_dist, filter_dist, block_idx,
+                          block_cnt, interpret: bool = False, tile: int = TILE):
+    """Shrink tile_overlap_blocks' AABB-admitted lists to blocks holding an
+    eligible pair within `keep_dist` (computed once per frame; the solver
+    iterations then sweep only these). Returns (block_idx, block_cnt) in
+    the same layout; counts only ever shrink, so no new overflow."""
+    n = pos.shape[0]
+    n_pad = -(-n // tile) * tile
+    cols = _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos,
+                 n_pad)
+    rows = cols.T
+    scal = jnp.array([[keep_dist, 0.0, filter_dist, float(n)]],
+                     dtype=jnp.float32)
+    nb = n_pad // tile
+    maxb = block_idx.shape[1]
+    # flags lane dim must be a multiple of 128 for the Mosaic output tiling;
+    # only the first maxb lanes are ever written (slot k < cnt <= maxb)
+    maxb_pad = -(-maxb // 128) * 128
+    cnt2d = block_cnt.reshape(nb, 1).astype(jnp.int32)
+
+    flags = pl.pallas_call(
+        _make_refine_kernel(tile),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, maxb_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * 8, maxb_pad), jnp.float32),
+        interpret=interpret,
+    )(scal, cnt2d, block_idx, rows, cols)
+    flags = flags.reshape(nb, 8, maxb_pad)[:, 0, :maxb]
+    # compact surviving slots to the front (top_k over 1/0 scores is stable,
+    # preserving the original near-diagonal-first slot order)
+    _, kk = jax.lax.top_k(flags, maxb)
+    new_idx = jnp.take_along_axis(block_idx, kk, axis=1)
+    new_cnt = jnp.sum(flags > 0.5, axis=1).astype(jnp.int32)
+    return new_idx, new_cnt
+
+
 def tile_overlap_blocks(pos, active, inflate, tile: int = TILE,
                         max_blocks: int | None = None):
     """Per-row-tile lists of col tiles whose inflated AABBs intersect.

@@ -34,7 +34,7 @@ from adaptigraph_tpu.engine.cells import cell_list_neighbors
 from adaptigraph_tpu.engine.neighbors import neighbor_list
 from adaptigraph_tpu.engine.pallas_kernels import (
     DENSE_CONTACT_MAX_N, block_sparse_contact_deltas, dense_contact_deltas,
-    tile_overlap_blocks)
+    refine_overlap_blocks, tile_overlap_blocks)
 from adaptigraph_tpu.engine.collisions import shape_contact_deltas
 from adaptigraph_tpu.engine.state import (
     ParticleState,
@@ -105,7 +105,11 @@ def _spring_deltas_gather(pos, inv_mass, springs, inc):
 def _spring_deltas_offset(pos, inv_mass, os):
     """Distance constraints for static-offset spring families
     (state.OffsetSprings): endpoint reads are slices and the reduction is a
-    slice-add — zero gathers/scatters, pure VPU."""
+    zero-padded concatenate + elementwise sum — zero gathers/scatters, zero
+    dynamic-update-slices, pure VPU. (The earlier .at[].add form chained
+    ~4 serial full-array DUS ops per family, which XLA would not fuse —
+    ~178 us/iteration at the cloth design point vs a few us for this
+    fully-fusible tree.)"""
     n = pos.shape[0]
     delta = jnp.zeros_like(pos)
     cnt = jnp.zeros((n,), dtype=pos.dtype)
@@ -124,10 +128,12 @@ def _spring_deltas_offset(pos, inv_mass, os):
         okf = ok.astype(pos.dtype)
         mag = -(os.stiffness[f, : n - o] * c / (wsum + _EPS)) * inv_len * okf
         corr = mag[:, None] * d
-        delta = delta.at[: n - o].add(wi[:, None] * corr)
-        delta = delta.at[o:].add(-wj[:, None] * corr)
-        cnt = cnt.at[: n - o].add(okf)
-        cnt = cnt.at[o:].add(okf)
+        z3 = jnp.zeros((o, 3), dtype=pos.dtype)
+        z1 = jnp.zeros((o,), dtype=pos.dtype)
+        delta = delta + jnp.concatenate([wi[:, None] * corr, z3])
+        delta = delta + jnp.concatenate([z3, -wj[:, None] * corr])
+        cnt = cnt + jnp.concatenate([okf, z1])
+        cnt = cnt + jnp.concatenate([z1, okf])
     return delta, cnt
 
 
@@ -505,6 +511,33 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
         block_idx, block_cnt, overflow = tile_overlap_blocks(
             _pad_tile(p0.pos), _pad_tile_mask(p0.active), prm.radius * 1.5,
             max_blocks=maxb)
+        # pair-level refinement ONCE per frame: keep only blocks holding an
+        # eligible pair within a velocity-adaptive keep distance — the
+        # NvFlexParams::particleCollisionMargin idea (NvFlex.h:146): the
+        # neighbor radius is the contact distance plus a margin covering one
+        # frame of drift. Settled scenes (vmax~0) prune nearly everything
+        # (flat cloth's unfiltered 2-ring pairs sit at 1.11x rest_dist);
+        # fast frames widen the margin, capped at the AABB inflation.
+        # Shape velocity is included because grasp attachments teleport
+        # particles with the tool without updating their stored velocity.
+        # (Flex defaults particleCollisionMargin to 0 — neighbor find at
+        # exactly `radius`, no drift margin, pyflex.cpp:700 — so the 2%
+        # slack + velocity term here is strictly more conservative than the
+        # reference. Gravity is excluded: it produces no RELATIVE approach
+        # between free particles.)
+        vmax_p = jnp.max(jnp.where(p0.active,
+                                   jnp.linalg.norm(p0.vel, axis=-1), 0.0))
+        vmax_s = jnp.max(jnp.linalg.norm(s_vel, axis=-1))
+        vmax = jnp.maximum(vmax_p, vmax_s)
+        keep_dist = jnp.clip(
+            jnp.maximum(prm.radius, prm.solid_rest_distance) * 1.02
+            + 2.0 * vmax * prm.dt,
+            prm.solid_rest_distance * 1.02,
+            jnp.maximum(prm.radius * 1.5, prm.solid_rest_distance * 1.05))
+        block_idx, block_cnt = refine_overlap_blocks(
+            p0.pos, p0.pos, p0.group, p0.inv_mass, p0.self_collide, p0.active,
+            spec.rest_pos, keep_dist, prm.collide_filter_dist,
+            block_idx, block_cnt, interpret=interpret)
         blocks = (block_idx, block_cnt)
     elif contact_mode == "sparse":
         # neighbor find ONCE per outer frame: dense masked top-k for tiny

@@ -44,6 +44,47 @@ def test_dense_matches_sparse():
                                atol=2e-5)
 
 
+def test_refine_prunes_blocks_losslessly():
+    """A long sparse chain (rope-like): most AABB-admitted blocks hold no
+    eligible pair, refinement drops them, and the refined sweep result is
+    bit-identical to the unrefined one."""
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        block_sparse_contact_deltas, refine_overlap_blocks,
+        tile_overlap_blocks)
+
+    rng = np.random.RandomState(2)
+    n = 512  # 4 row tiles
+    # chain along x at spacing 0.05 with tiny jitter; one overlapping pair
+    # folded in so at least one block keeps a genuine contact
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = np.arange(n) * 0.05
+    pos += rng.randn(n, 3).astype(np.float32) * 1e-3
+    pos[400] = pos[10] + np.array([0.01, 0.0, 0.0], np.float32)
+    pos = jnp.array(pos)
+    group = jnp.array(np.arange(n) // 64, jnp.int32)  # 8 groups
+    inv_mass = jnp.ones(n)
+    sc = jnp.zeros(n, bool)
+    active = jnp.ones(n, bool)
+    rest_pos = jnp.array(rng.rand(n, 3).astype(np.float32))
+    rest_dist, friction, filter_dist = 0.04, 0.25, 0.0
+
+    bidx, bcnt, _ = tile_overlap_blocks(pos, active, rest_dist * 1.5)
+    ridx, rcnt = refine_overlap_blocks(
+        pos, pos, group, inv_mass, sc, active, rest_pos, rest_dist * 1.5,
+        filter_dist, bidx, bcnt, interpret=True)
+    rcnt_np, bcnt_np = np.asarray(rcnt), np.asarray(bcnt)
+    assert (rcnt_np <= bcnt_np).all()
+    assert rcnt_np.sum() < bcnt_np.sum()  # pruning actually happened
+    assert rcnt_np.sum() >= 1             # the planted contact survives
+
+    args = (pos, pos, group, inv_mass, sc, active, rest_pos, rest_dist,
+            friction, filter_dist)
+    d0, c0 = block_sparse_contact_deltas(*args, bidx, bcnt, interpret=True)
+    d1, c1 = block_sparse_contact_deltas(*args, ridx, rcnt, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
 def test_inactive_and_padding_rows_are_zero():
     rng = np.random.RandomState(1)
     n = 150  # pads to 256
