@@ -276,29 +276,36 @@ def _mat3_apply(m3, v):
 
 def _cluster_deltas_segments(pos, pos0, clusters, cluster_rot, seg):
     """Shape-matching corrections for disjoint contiguous clusters
-    (state.ClusterSegments — the granular granule layout): segment sums via
-    cumsum + boundary gather (C rows), broadcast-back via one (N,)-row
-    gather of a small table. Same algebra as `_cluster_deltas_matmul`."""
+    (state.ClusterSegments — the granular granule layout): one fused sorted
+    segment reduction + one (N,)-row broadcast-back gather of a small
+    (C+1, 14) table. Same algebra as `_cluster_deltas_matmul`."""
     n = pos.shape[0]
     c_rows = seg.count.shape[0]
     cnt = jnp.maximum(seg.count, 1.0)[:, None]
-    # two-pass centered covariance: segment-sum positions -> per-cluster
-    # com, broadcast back, then segment-sum the CENTERED outer products.
-    # Centered magnitudes are ~granule size, so there is no large-term
-    # cancellation (the one-pass E[xy] - E[x]E[y] form measurably
-    # lubricates rigid granule contacts; see ClusterMatmul.a00 note).
-    # Both reductions are over SORTED contiguous ids.
-    sum_pos = jax.ops.segment_sum(pos, seg.cid, num_segments=c_rows + 1,
-                                  indices_are_sorted=True)[:c_rows]
-    com = sum_pos / cnt
-    ctab = jnp.concatenate([jnp.concatenate([com, seg.com0], axis=1),
-                            jnp.zeros((1, 6), pos.dtype)], axis=0)
-    cp = ctab[seg.cid]  # (N, 6)
-    centered = pos - cp[:, :3]
-    centered0 = pos0 - cp[:, 3:]
-    outer = (centered[:, :, None] * centered0[:, None, :]).reshape(n, 9)
-    a = jax.ops.segment_sum(outer, seg.cid, num_segments=c_rows + 1,
-                            indices_are_sorted=True)[:c_rows].reshape(-1, 3, 3)
+    # displacement form (see ClusterSegments.a00): ONE fused (N, 12)
+    # segment reduction over the SORTED contiguous ids yields both the mean
+    # displacement and the dynamic part of the covariance — no com
+    # broadcast-back gather, no second reduction pass. u magnitudes are
+    # ~motion-since-build, so the matmul-and-subtract loses ~|u||pos0| to
+    # cancellation instead of ~|pos||pos0| (the rigid-granule friction
+    # rationale in ClusterMatmul.a00 applies unchanged).
+    u = pos - pos0
+    outer = (u[:, :, None] * pos0[:, None, :]).reshape(n, 9)
+    uo = jnp.concatenate([u, outer], axis=1)  # (N, 12)
+    # contiguous segments: the reduction is an inclusive cumsum + boundary
+    # differencing — no scatter at all (the scatter-add segment_sum form
+    # measured 1.4x slower at the 27k granular design point; XLA lowers
+    # cumsum to log-depth shifted adds, so the f32 error is ~eps*log2(N) of
+    # the RUNNING sum, validated against the exact member-gather pass by
+    # test_cluster_segments_match_gather_granular_scene)
+    cs = jnp.concatenate([jnp.zeros((1, 12), pos.dtype),
+                          jnp.cumsum(uo, axis=0)], axis=0)
+    bnd = cs[seg.starts]  # (C+1, 12) tiny boundary gather
+    g12 = bnd[1:] - bnd[:-1]
+    ubar = g12[:, :3] / cnt
+    com = seg.com0 + ubar
+    a = (seg.a00.reshape(-1, 3, 3) + g12[:, 3:].reshape(-1, 3, 3)
+         - cnt[..., None] * (ubar[:, :, None] * seg.com0[:, None, :]))
     q_new = geo.extract_rotation(a, cluster_rot, iterations=6)
     q_new = jnp.where(clusters.valid[:, None], q_new, cluster_rot)
     r = geo.quat_to_matrix(q_new)

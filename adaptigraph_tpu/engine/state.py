@@ -326,6 +326,12 @@ class ClusterSegments(NamedTuple):
     cid: jnp.ndarray     # (N,) int32 cluster id per particle, C = "none"
     com0: jnp.ndarray    # (C, 3) rest COM per cluster
     count: jnp.ndarray   # (C,) f32 member counts (>=1)
+    # static rest covariance per cluster, f64-accumulated host-side; lets the
+    # solver use the displacement form A = a00 + seg(u (x) pos0) - cnt *
+    # ubar (x) com0 (one fused (N, 12) segment reduction per iteration
+    # instead of two reductions + a com broadcast-back gather). Same
+    # cancellation rationale as ClusterMatmul.a00.
+    a00: jnp.ndarray     # (C, 9)
 
 
 def build_cluster_segments(clusters: ClusterSet, rest_pos, n: int) -> "ClusterSegments | None":
@@ -337,8 +343,9 @@ def build_cluster_segments(clusters: ClusterSet, rest_pos, n: int) -> "ClusterSe
     mvalid = np.asarray(clusters.member_valid) & np.asarray(clusters.valid)[:, None]
     rest_pos = np.asarray(rest_pos)[:n]
     c_rows = member.shape[0]
-    starts, com0, cnt = [], [], []
+    starts, com0, cnt, a00 = [], [], [], []
     cid = np.full((n,), 0, dtype=np.int32)
+    rest64 = rest_pos.astype(np.float64)
     cursor = 0
     n_valid = 0
     for ci in range(c_rows):
@@ -349,12 +356,15 @@ def build_cluster_segments(clusters: ClusterSet, rest_pos, n: int) -> "ClusterSe
             return None    # per-cluster tables stay aligned with ClusterSet rows
         if not (m[0] == cursor and np.array_equal(m, np.arange(m[0], m[0] + len(m)))):
             return None
-        co = rest_pos[m].mean(axis=0)
+        co64 = rest64[m].mean(axis=0)
+        co = co64.astype(np.float32)
         if not np.allclose(rest_pos[m] - co,
                            np.asarray(clusters.rest)[ci][mvalid[ci]], atol=1e-4):
             return None
+        cen = rest64[m] - co64
+        a00.append(np.einsum("ki,kj->ij", cen, cen).reshape(9).astype(np.float32))
         starts.append(cursor)
-        com0.append(co)
+        com0.append(co64)
         cnt.append(float(len(m)))
         cid[m] = n_valid
         n_valid += 1
@@ -363,14 +373,16 @@ def build_cluster_segments(clusters: ClusterSet, rest_pos, n: int) -> "ClusterSe
         return None
     # pad the per-cluster tables to the static cap so batched scenes stack
     starts = starts + [cursor] * (c_rows - n_valid + 1)
-    com0 = com0 + [np.zeros(3, np.float32)] * (c_rows - n_valid)
+    com0 = com0 + [np.zeros(3, np.float64)] * (c_rows - n_valid)
     cnt = cnt + [1.0] * (c_rows - n_valid)
+    a00 = a00 + [np.zeros(9, np.float32)] * (c_rows - n_valid)
     cid[cursor:] = c_rows  # padding particles -> "none" row
     return ClusterSegments(
         starts=jnp.array(np.asarray(starts, np.int32)),
         cid=jnp.array(cid),
         com0=jnp.array(np.stack(com0).astype(np.float32)),
-        count=jnp.array(np.asarray(cnt, np.float32)))
+        count=jnp.array(np.asarray(cnt, np.float32)),
+        a00=jnp.array(np.stack(a00)))
 
 
 class ClusterIncidence(NamedTuple):
