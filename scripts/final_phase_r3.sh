@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-3 final phase: retrain all three materials on the refreshed
+# campaign data, rollout-eval each, run the full-scale planning acceptance
+# (rope + granular), then the headline bench. Run AFTER killing any
+# campaign process (only one process can hold the TPU).
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=/tmp/final_phase.log
+echo "[final] start $(date)" >> $LOG
+
+# stale preprocess caches reflect the pre-campaign episode sets
+rm -rf data/preprocess/rope data/preprocess/granular data/preprocess/cloth
+
+for MAT in rope granular cloth; do
+  echo "[final] train $MAT $(date)" >> $LOG
+  timeout 2400 python scripts/train_material.py "$MAT" \
+    "${EPOCHS:-10}" "${ITERS:-250}" "${BATCH:-64}" \
+    >> "/tmp/final_train_${MAT}.log" 2>&1
+  echo "[final] train $MAT rc=$? $(date)" >> $LOG
+done
+
+echo "[final] plan rope $(date)" >> $LOG
+timeout 3600 python scripts/plan_acceptance.py rope 10 20000 \
+  >> /tmp/final_plan_rope.log 2>&1
+echo "[final] plan rope rc=$? $(date)" >> $LOG
+
+echo "[final] plan granular $(date)" >> $LOG
+timeout 3600 python scripts/plan_acceptance.py granular 10 20000 \
+  >> /tmp/final_plan_granular.log 2>&1
+echo "[final] plan granular rc=$? $(date)" >> $LOG
+
+echo "[final] bench $(date)" >> $LOG
+timeout 1800 python bench.py >> /tmp/final_bench.log 2>&1
+echo "[final] bench rc=$? $(date)" >> $LOG
+echo "[final] DONE $(date)" >> $LOG
