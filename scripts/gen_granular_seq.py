@@ -1,0 +1,30 @@
+"""Sequential single-env granular episodes (the batch-4 vmapped granular
+push program hangs the remote TPU worker — see CLAUDE.md; single-env
+programs are known-good). Usage: gen_granular_seq.py [base] [n]."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+from adaptigraph_tpu.utils import load_config
+from adaptigraph_tpu.sim.data_gen import gen_episode
+
+BASE = int(sys.argv[1]) if len(sys.argv) > 1 else 310
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+for seed in range(BASE, BASE + N):
+    t0 = time.time()
+    cfg = load_config("data_gen/granular")
+    cfg["dataset"]["screenWidth"] = 360
+    cfg["dataset"]["screenHeight"] = 360
+    cfg["dataset"]["robot_speed_inv"] = 150
+    try:
+        gen_episode(cfg, seed, True, "/root/repo/data/sim_data")
+        print(f"EPISODE {seed} done in {time.time()-t0:.0f}s", flush=True)
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        print(f"EPISODE {seed} FAILED after {time.time()-t0:.0f}s; "
+              "waiting for worker recovery", flush=True)
+        time.sleep(120)
+print("ALL DONE", flush=True)
