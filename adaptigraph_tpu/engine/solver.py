@@ -109,15 +109,23 @@ def _spring_deltas_offset(pos, inv_mass, os):
     dynamic-update-slices, pure VPU. (The earlier .at[].add form chained
     ~4 serial full-array DUS ops per family, which XLA would not fuse —
     ~178 us/iteration at the cloth design point vs a few us for this
-    fully-fusible tree.)"""
+    fully-fusible tree.)
+
+    The whole pass runs COMPONENT-SPLIT on (N,) arrays: a (N, 3) f32 array
+    tiles on TPU with the minor dim lane-padded 3 -> 128, so every
+    elementwise op on it moves ~42x the payload; (N,) vectors pack lanes
+    densely. Split once, restack once."""
     n = pos.shape[0]
-    delta = jnp.zeros_like(pos)
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    ax = jnp.zeros((n,), dtype=pos.dtype)
+    ay = jnp.zeros((n,), dtype=pos.dtype)
+    az = jnp.zeros((n,), dtype=pos.dtype)
     cnt = jnp.zeros((n,), dtype=pos.dtype)
     for f, o in enumerate(os.offsets):
-        pi = pos[: n - o]
-        pj = pos[o:]
-        d = pi - pj
-        d2 = jnp.sum(d * d, axis=-1)
+        dx = px[: n - o] - px[o:]
+        dy = py[: n - o] - py[o:]
+        dz = pz[: n - o] - pz[o:]
+        d2 = dx * dx + dy * dy + dz * dz
         inv_len = jax.lax.rsqrt(d2 + _EPS)
         length = d2 * inv_len
         c = length - os.rest[f, : n - o]
@@ -127,14 +135,14 @@ def _spring_deltas_offset(pos, inv_mass, os):
         ok = os.valid[f, : n - o] & (wsum > 0)
         okf = ok.astype(pos.dtype)
         mag = -(os.stiffness[f, : n - o] * c / (wsum + _EPS)) * inv_len * okf
-        corr = mag[:, None] * d
-        z3 = jnp.zeros((o, 3), dtype=pos.dtype)
+        cx, cy, cz = mag * dx, mag * dy, mag * dz
         z1 = jnp.zeros((o,), dtype=pos.dtype)
-        delta = delta + jnp.concatenate([wi[:, None] * corr, z3])
-        delta = delta + jnp.concatenate([z3, -wj[:, None] * corr])
+        ax = ax + jnp.concatenate([wi * cx, z1]) - jnp.concatenate([z1, wj * cx])
+        ay = ay + jnp.concatenate([wi * cy, z1]) - jnp.concatenate([z1, wj * cy])
+        az = az + jnp.concatenate([wi * cz, z1]) - jnp.concatenate([z1, wj * cz])
         cnt = cnt + jnp.concatenate([okf, z1])
         cnt = cnt + jnp.concatenate([z1, okf])
-    return delta, cnt
+    return jnp.stack([ax, ay, az], axis=-1), cnt
 
 
 def precompute_contact_static(inv_mass, group, self_collide, active, nbr_idx, nbr_valid,
