@@ -249,7 +249,7 @@ class BatchSimEnv:
                 self.states.shapes.pos[lo:hi], self.states.shapes.quat[lo:hi],
                 jnp.asarray(np.asarray(cam_pos, np.float32))[None],
                 jnp.asarray(fwd)[None], jnp.asarray(intr),
-                width=res, height=res)
+                width=res, height=res, cloth_dims=e0._cloth_dims)
             out.append(np.asarray(imgs)[:, 0])
         return np.concatenate(out)
 

@@ -59,6 +59,8 @@ def _mat33_to_quat(m):
 class SimEnv:
     """Push-based deformable manipulation environment."""
 
+    _cloth_dims = None  # set per reset; (dimx, dimz) for cloth scenes
+
     def __init__(self, config):
         d = config["dataset"]
         self.cfg = d
@@ -203,6 +205,9 @@ class SimEnv:
         self.n_active = b.n_active
         self.substeps, self.iterations = b.substeps, b.iterations
         self.props = b.props
+        # static (dimx, dimz) for surfel-shaded cloth splats (render.py)
+        self._cloth_dims = ((int(b.scene["dimx"]), int(b.scene["dimz"]))
+                            if self.obj == "cloth" and "dimx" in b.scene else None)
         self.colors = np.tile(_PARTICLE_COLORS[self.obj][None], (self.caps.n, 1))
         # host snapshot: the live state buffers get donated by chunk dispatch,
         # so restores must not read self.build.state later
@@ -568,7 +573,7 @@ class SimEnv:
                 jnp.stack([s.quat for s in shs]),
                 jnp.asarray(np.asarray(self._cam_pos, np.float32)),
                 jnp.asarray(cam_fwd), jnp.asarray(self.camera.intrinsics()),
-                width=W, height=H)
+                width=W, height=H, cloth_dims=self._cloth_dims)
             color, depth = np.asarray(color), np.asarray(depth)
             out.extend((color[k], depth[k]) for k in range(color.shape[0]))
         return out[:f]
@@ -648,7 +653,8 @@ class SimEnv:
             f = render_frame(jnp.asarray(particles), jnp.asarray(self.colors),
                              self.state.particles.active, shapes,
                              jnp.asarray(self._cam_pos[ci]), jnp.asarray(fwd),
-                             jnp.asarray(self.camera.intrinsics()), width=W, height=H)
+                             jnp.asarray(self.camera.intrinsics()), width=W, height=H,
+                             cloth_dims=self._cloth_dims)
             frames.append(np.asarray(f))
         return np.stack(frames)
 
@@ -661,7 +667,8 @@ class SimEnv:
         f = render_frame(self.state.particles.pos, jnp.asarray(self.colors),
                          self.state.particles.active, self.state.shapes,
                          jnp.asarray(pos, dtype=jnp.float32), jnp.asarray(fwd),
-                         jnp.asarray(self.camera.intrinsics()), width=W, height=H)
+                         jnp.asarray(self.camera.intrinsics()), width=W, height=H,
+                         cloth_dims=self._cloth_dims)
         return np.asarray(f)
 
     # ---------- action sampling ----------

@@ -114,6 +114,36 @@ def _ray_convex(ro, rd, planes):
     return thit, nrm
 
 
+def cloth_vertex_normals(pos, dimx: int, dimz: int):
+    """Per-vertex normals for a dimz x dimx cloth grid laid out row-major
+    (build_cloth's gid = z * dimx + x). Central differences inside the grid,
+    one-sided at the borders. Returns (N, 3) with zero rows past the grid so
+    non-grid/padding particles shade neutrally.
+
+    This is the surfel half of the reference's shaded-mesh cloth rendering
+    (by_softgym_cloth.h render_mode=2 draws the spring grid as a lit triangle
+    mesh via opengl/shadersGL.cpp); we shade the splatted particles with the
+    same per-vertex normals instead of rasterizing triangles."""
+    n_total = pos.shape[0]
+    grid = pos[: dimx * dimz].reshape(dimz, dimx, 3)
+
+    def diff(g, axis):
+        lo = (jax.lax.slice_in_dim(g, 1, 2, axis=axis)
+              - jax.lax.slice_in_dim(g, 0, 1, axis=axis))
+        hi = (jax.lax.slice_in_dim(g, g.shape[axis] - 1, g.shape[axis], axis=axis)
+              - jax.lax.slice_in_dim(g, g.shape[axis] - 2, g.shape[axis] - 1, axis=axis))
+        mid = (jax.lax.slice_in_dim(g, 2, g.shape[axis], axis=axis)
+               - jax.lax.slice_in_dim(g, 0, g.shape[axis] - 2, axis=axis)) * 0.5
+        return jnp.concatenate([lo, mid, hi], axis=axis)
+
+    dx = diff(grid, 1)   # along x (columns)
+    dz = diff(grid, 0)   # along z (rows)
+    n = jnp.cross(dz, dx)
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+    out = jnp.zeros((n_total, 3), dtype=pos.dtype)
+    return out.at[: dimx * dimz].set(n.reshape(-1, 3))
+
+
 def _ray_plane(ro, rd):
     t = -ro[..., 1] / jnp.where(jnp.abs(rd[..., 1]) < 1e-9, 1e-9, rd[..., 1])
     t = jnp.where(t > 0, t, _FAR)
@@ -121,11 +151,11 @@ def _ray_plane(ro, rd):
     return t, n
 
 
-@partial(jax.jit, static_argnames=("width", "height", "splat_px"))
+@partial(jax.jit, static_argnames=("width", "height", "splat_px", "cloth_dims"))
 def render_frames_store(pos, colors, active, shapes: ShapeSet, shape_pos,
                         shape_quat, cam_pos, cam_fwd, intrinsics,
                         width: int = 720, height: int = 720, splat_px: int = 2,
-                        point_radius: float = 0.04):
+                        point_radius: float = 0.04, cloth_dims=None):
     """render_frames_batch quantized ON DEVICE to the h5 schema dtypes:
     (color (F, C, H, W, 3) uint8 RGB, depth (F, C, H, W) uint16 mm).
     Capture transfers ride the remote-TPU tunnel; shipping f32 RGBA+depth
@@ -133,17 +163,17 @@ def render_frames_store(pos, colors, active, shapes: ShapeSet, shape_pos,
     f = render_frames_batch(pos, colors, active, shapes, shape_pos, shape_quat,
                             cam_pos, cam_fwd, intrinsics, width=width,
                             height=height, splat_px=splat_px,
-                            point_radius=point_radius)
+                            point_radius=point_radius, cloth_dims=cloth_dims)
     color = (jnp.clip(f[..., :3], 0.0, 1.0) * 255).astype(jnp.uint8)
     depth = (f[..., 4] * 1000).astype(jnp.uint16)
     return color, depth
 
 
-@partial(jax.jit, static_argnames=("width", "height", "splat_px"))
+@partial(jax.jit, static_argnames=("width", "height", "splat_px", "cloth_dims"))
 def render_frames_batch(pos, colors, active, shapes: ShapeSet, shape_pos,
                         shape_quat, cam_pos, cam_fwd, intrinsics,
                         width: int = 720, height: int = 720, splat_px: int = 2,
-                        point_radius: float = 0.04):
+                        point_radius: float = 0.04, cloth_dims=None):
     """Render F frames x C cameras in ONE device program.
 
     Capture rendering previously dispatched one program per (frame, camera)
@@ -159,16 +189,17 @@ def render_frames_batch(pos, colors, active, shapes: ShapeSet, shape_pos,
             lambda cp, cf: render_frame(p, colors, a, sh, cp, cf,
                                         intrinsics, width=width, height=height,
                                         splat_px=splat_px,
-                                        point_radius=point_radius)
+                                        point_radius=point_radius,
+                                        cloth_dims=cloth_dims)
         )(cam_pos, cam_fwd)
 
     return jax.vmap(one)(pos, active, shape_pos, shape_quat)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "splat_px"))
+@partial(jax.jit, static_argnames=("width", "height", "splat_px", "cloth_dims"))
 def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
                  intrinsics, width: int = 720, height: int = 720, splat_px: int = 2,
-                 point_radius: float = 0.04):
+                 point_radius: float = 0.04, cloth_dims=None):
     """Render one camera frame.
 
     Args:
@@ -177,6 +208,10 @@ def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
       cam_pos: (3,); cam_angle_fwd: (3,) camera forward vector (unit).
       intrinsics: (4,) [fx, fy, cx, cy].
       splat_px: half-extent of the particle splat neighborhood in pixels.
+      cloth_dims: optional static (dimx, dimz) — the particles form a cloth
+        grid; splats are Lambert-shaded by per-vertex grid normals (surfel
+        rendering, the splat analogue of by_softgym_cloth.h render_mode=2's
+        shaded mesh).
 
     Returns: (H, W, 5) float32 — RGB in [0,1], alpha, metric depth (0 = bg).
     """
@@ -246,6 +281,13 @@ def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
     color = jnp.where(hit_mask[..., None], _SHAPE_COLOR * shade[..., None], _BG)
 
     # ---- particle splat ----
+    if cloth_dims is not None:
+        dimx, dimz = cloth_dims
+        vn = cloth_vertex_normals(pos, dimx, dimz)
+        # two-sided Lambert: a sheet lights from either side
+        lam = jnp.abs(vn @ (_LIGHT / jnp.linalg.norm(_LIGHT)))
+        has_n = jnp.sum(vn * vn, axis=-1) > 1e-6
+        colors = colors * jnp.where(has_n, 0.35 + 0.65 * lam, 1.0)[:, None]
     p_cam = (pos - cam_pos) @ rot.T
     z = -p_cam[..., 2]
     vis = active & (z > 0.01)

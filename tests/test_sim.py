@@ -85,6 +85,54 @@ class TestRenderer:
         img = np.asarray(img)
         assert img[40:, :, 4].min() > 0  # lower rows hit the floor -> depth > 0
 
+    def test_cloth_vertex_normals_flat_grid(self):
+        from adaptigraph_tpu.sim.render import cloth_vertex_normals
+
+        dimx, dimz = 8, 6
+        xs, zs = np.meshgrid(np.arange(dimx), np.arange(dimz), indexing="xy")
+        pts = np.stack([xs.ravel() * 0.1, np.zeros(dimx * dimz),
+                        zs.ravel() * 0.1], 1).astype(np.float32)
+        pad = np.zeros((60, 3), np.float32)
+        n = np.asarray(cloth_vertex_normals(jnp.asarray(np.concatenate([pts, pad])),
+                                            dimx, dimz))
+        # flat xz sheet: every grid normal is +/- y
+        np.testing.assert_allclose(np.abs(n[: dimx * dimz, 1]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(n[: dimx * dimz, [0, 2]], 0.0, atol=1e-5)
+        # padding rows carry zero normals (neutral shading)
+        np.testing.assert_allclose(n[dimx * dimz:], 0.0)
+
+    def test_cloth_surfel_shading_varies_on_draped_grid(self):
+        """A draped (non-flat) cloth grid rendered with cloth_dims shows
+        shading variation across the sheet; the flat render is uniform.
+        Depth output is unaffected by shading."""
+        rig = CameraRig(96, 96)
+        pos, ang = rig.single_view(1)
+        from adaptigraph_tpu.sim.env import _fwd_from_angle
+
+        fwd = _fwd_from_angle(ang)
+        dimx = dimz = 16
+        xs, zs = np.meshgrid(np.arange(dimx), np.arange(dimz), indexing="xy")
+        x = (xs.ravel() - dimx / 2) * 0.3
+        z = (zs.ravel() - dimz / 2) * 0.3
+        y = 0.6 + 0.6 * np.sin(x * 2.0) * np.cos(z * 2.0)  # draped folds
+        pts = jnp.asarray(np.stack([x, y, z], 1).astype(np.float32))
+        colors = jnp.tile(jnp.array([[0.2, 0.4, 1.0]]), (dimx * dimz, 1))
+        active = jnp.ones(dimx * dimz, bool)
+        kw = dict(width=96, height=96, point_radius=0.2, splat_px=3)
+        intr = jnp.array(rig.intrinsics()) * (96 / 720.0)
+        img_flat = np.asarray(render_frame(
+            pts, colors, active, self._shapes(), jnp.array(pos, dtype=jnp.float32),
+            jnp.array(fwd), intr, **kw))
+        img_shaded = np.asarray(render_frame(
+            pts, colors, active, self._shapes(), jnp.array(pos, dtype=jnp.float32),
+            jnp.array(fwd), intr, cloth_dims=(dimx, dimz), **kw))
+        cloth_px = (img_flat[..., 2] > 0.9) & (img_flat[..., 0] < 0.3)
+        assert cloth_px.sum() > 20
+        # unshaded: single blue everywhere; shaded: real variation
+        assert img_flat[..., 2][cloth_px].std() < 1e-5
+        assert img_shaded[..., 2][cloth_px].std() > 0.02
+        np.testing.assert_allclose(img_shaded[..., 4], img_flat[..., 4], atol=1e-5)
+
     def test_box_occludes_floor(self):
         shapes = make_shapes([SHAPE_PLANE, SHAPE_BOX], [[0, 0, 0], [1.0, 1.0, 1.0]],
                              [[0, 0, 0], [0, 0, 0]], [[0, 0, 0, 1]] * 2, m_max=2)
