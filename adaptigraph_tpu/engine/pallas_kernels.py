@@ -282,11 +282,19 @@ def refine_overlap_blocks(pos, pos_prev, group, inv_mass, self_collide, active,
     eligible pair within `keep_dist` (computed once per frame; the solver
     iterations then sweep only these). Returns (block_idx, block_cnt) in
     the same layout; counts only ever shrink, so no new overflow."""
-    n = pos.shape[0]
-    n_pad = -(-n // tile) * tile
-    cols = _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos,
-                 n_pad)
-    rows = cols.T
+    rows, cols = pack_contact_tables(pos, pos_prev, group, inv_mass,
+                                     self_collide, active, rest_pos, tile=tile)
+    return refine_overlap_blocks_packed(pos.shape[0], rows, cols, keep_dist,
+                                        filter_dist, block_idx, block_cnt,
+                                        interpret=interpret, tile=tile)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret", "tile"))
+def refine_overlap_blocks_packed(n: int, rows, cols, keep_dist, filter_dist,
+                                 block_idx, block_cnt,
+                                 interpret: bool = False, tile: int = TILE):
+    """refine_overlap_blocks over prepacked attribute tables."""
+    n_pad = cols.shape[1]
     scal = jnp.array([[keep_dist, 0.0, filter_dist, float(n)]],
                      dtype=jnp.float32)
     nb = n_pad // tile
@@ -353,6 +361,36 @@ def tile_overlap_blocks(pos, active, inflate, tile: int = TILE,
     return idx.astype(jnp.int32), cnt, overflow.astype(jnp.int32)
 
 
+def pack_contact_tables(pos, pos_prev, group, inv_mass, self_collide, active,
+                        rest_pos, tile: int = TILE):
+    """Build the (rows (N_pad, 16), cols (16, N_pad)) attribute tables the
+    block-sparse sweep reads. 13 of the 16 attribute rows are FRAME-constant
+    (group/mass/phase/rest/active) and pos_prev is SUBSTEP-constant, so the
+    solver packs once per frame and per-iteration updates touch only the
+    three position rows (update_contact_tables) — the full 7-DUS pack + the
+    (16, N) transpose measured as the bulk of the per-iteration contact cost
+    at the rope design point."""
+    n_pad = -(-pos.shape[0] // tile) * tile
+    cols = _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos,
+                 n_pad)
+    return cols.T, cols
+
+
+def update_contact_tables(rows, cols, pos, pos_prev=None):
+    """Refresh the position rows of prepacked contact tables. `pos` updates
+    attribute rows 0-2 every solver iteration; `pos_prev` (rows 3-5) only at
+    substep starts. The rows-table update is layout-aligned ((N, 3) into
+    (N_pad, 16) minor columns — no relayout); the cols update pays the one
+    unavoidable (N, 3) -> (3, N) transpose."""
+    n = pos.shape[0]
+    rows = rows.at[:n, 0:3].set(pos)
+    cols = cols.at[0:3, :n].set(pos.T)
+    if pos_prev is not None:
+        rows = rows.at[:n, 3:6].set(pos_prev)
+        cols = cols.at[3:6, :n].set(pos_prev.T)
+    return rows, cols
+
+
 @partial(jax.jit, static_argnames=("interpret", "tile"))
 def block_sparse_contact_deltas(pos, pos_prev, group, inv_mass, self_collide,
                                 active, rest_pos, rest_dist, particle_friction,
@@ -362,11 +400,22 @@ def block_sparse_contact_deltas(pos, pos_prev, group, inv_mass, self_collide,
     blocks (the scalable O(N·K_blocks) path; same contract as
     dense_contact_deltas). block_idx/block_cnt come from
     tile_overlap_blocks(tile=same tile), computed once per frame."""
-    n = pos.shape[0]
-    n_pad = -(-n // tile) * tile
-    cols = _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos,
-                 n_pad)
-    rows = cols.T
+    rows, cols = pack_contact_tables(pos, pos_prev, group, inv_mass,
+                                     self_collide, active, rest_pos, tile=tile)
+    return block_sparse_contact_deltas_packed(
+        pos.shape[0], rows, cols, rest_dist, particle_friction, filter_dist,
+        block_idx, block_cnt, interpret=interpret, tile=tile)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret", "tile"))
+def block_sparse_contact_deltas_packed(n: int, rows, cols, rest_dist,
+                                       particle_friction, filter_dist,
+                                       block_idx, block_cnt,
+                                       interpret: bool = False,
+                                       tile: int = TILE):
+    """Block-sparse contact sweep over prepacked attribute tables (see
+    pack_contact_tables). Returns (delta (n, 3), count (n,))."""
+    n_pad = cols.shape[1]
     scal = jnp.array([[rest_dist, particle_friction, filter_dist, float(n)]],
                      dtype=jnp.float32)
     nb = n_pad // tile

@@ -33,8 +33,9 @@ import jax.numpy as jnp
 from adaptigraph_tpu.engine.cells import cell_list_neighbors
 from adaptigraph_tpu.engine.neighbors import neighbor_list
 from adaptigraph_tpu.engine.pallas_kernels import (
-    DENSE_CONTACT_MAX_N, block_sparse_contact_deltas, dense_contact_deltas,
-    refine_overlap_blocks, tile_overlap_blocks)
+    DENSE_CONTACT_MAX_N, block_sparse_contact_deltas_packed,
+    dense_contact_deltas, pack_contact_tables, refine_overlap_blocks_packed,
+    tile_overlap_blocks, update_contact_tables)
 from adaptigraph_tpu.engine.collisions import shape_contact_deltas
 from adaptigraph_tpu.engine.state import (
     ParticleState,
@@ -375,7 +376,7 @@ def _nlerp(q0, q1, t):
 def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
              shapes: ShapeSet, s_pos, s_quat, s_vel, nbr_idx, eligible, share,
              dt, iterations: int, mode: str = "sparse", interpret: bool = False,
-             cluster_rest=None, blocks=None):
+             cluster_rest=None, blocks=None, tables=None):
     p = particles
     prm = spec.params
     movable = (p.inv_mass > 0) & p.active
@@ -398,6 +399,11 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     pos_prev = p.pos
     pos = pos_prev + vel * dt
     pj_prev = pos_prev[nbr_idx] if mode == "sparse" else None
+    if mode == "block":
+        # substep-start position rows (pos_prev / friction reference) are
+        # fixed across the solver iterations; refresh them once here
+        rows_t, cols_t = update_contact_tables(*tables, pos_prev,
+                                               pos_prev=pos_prev)
 
     def iter_body(_, carry):
         pos, cl_rot, gl_rot = carry
@@ -408,13 +414,15 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
                 spec.rest_pos, prm.solid_rest_distance, prm.particle_friction,
                 prm.collide_filter_dist, interpret=interpret)
         elif mode == "block":
-            # AABB-culled Pallas tile sweep: only spatially-near blocks pay
+            # AABB-culled Pallas tile sweep: only spatially-near blocks pay.
+            # Only the three current-position attribute rows change per
+            # iteration; everything else rides the frame-packed tables.
             block_idx, block_cnt = blocks
-            delta_c, cnt = block_sparse_contact_deltas(
-                pos, pos_prev, p.group, p.inv_mass, p.self_collide, p.active,
-                spec.rest_pos, prm.solid_rest_distance, prm.particle_friction,
-                prm.collide_filter_dist, block_idx, block_cnt,
-                interpret=interpret)
+            rows_i, cols_i = update_contact_tables(rows_t, cols_t, pos)
+            delta_c, cnt = block_sparse_contact_deltas_packed(
+                pos.shape[0], rows_i, cols_i, prm.solid_rest_distance,
+                prm.particle_friction, prm.collide_filter_dist,
+                block_idx, block_cnt, interpret=interpret)
         else:
             delta_c, cnt = _particle_contact_deltas(
                 pos, pos_prev, nbr_idx, eligible, share,
@@ -513,9 +521,14 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             # at scale the AABB-culled block sweep skips far tile pairs
             contact_mode = "dense" if n <= 2048 else "block"
     interpret = jax.default_backend() == "cpu"
-    nbr_idx = eligible = share = blocks = None
+    nbr_idx = eligible = share = blocks = tables = None
     overflow = jnp.int32(0)
     if contact_mode == "block":
+        # frame-constant attribute tables for the contact kernels: packed
+        # ONCE here; substeps/iterations refresh only the position rows
+        tables = pack_contact_tables(
+            p0.pos, p0.pos, p0.group, p0.inv_mass, p0.self_collide, p0.active,
+            spec.rest_pos)
         # block structure ONCE per outer frame (like the NvFlex hash grid):
         # inflation radius*1.5 covers a frame of particle drift. The block
         # index table lives in SMEM inside the kernel; cap its width at
@@ -549,9 +562,8 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             + 2.0 * vmax * prm.dt,
             prm.solid_rest_distance * 1.02,
             jnp.maximum(prm.radius * 1.5, prm.solid_rest_distance * 1.05))
-        block_idx, block_cnt = refine_overlap_blocks(
-            p0.pos, p0.pos, p0.group, p0.inv_mass, p0.self_collide, p0.active,
-            spec.rest_pos, keep_dist, prm.collide_filter_dist,
+        block_idx, block_cnt = refine_overlap_blocks_packed(
+            p0.pos.shape[0], *tables, keep_dist, prm.collide_filter_dist,
             block_idx, block_cnt, interpret=interpret)
         blocks = (block_idx, block_cnt)
     elif contact_mode == "sparse":
@@ -573,7 +585,7 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             particles, cl_rot, gl_rot, spec, shapes, s_pos, s_quat, s_vel,
             nbr_idx, eligible, share, dt_sub, iterations,
             mode=contact_mode, interpret=interpret,
-            cluster_rest=cl_rest, blocks=blocks)
+            cluster_rest=cl_rest, blocks=blocks, tables=tables)
         return (particles, cl_rot, gl_rot, cl_rest), None
 
     (particles, cl_rot, gl_rot, cl_rest), _ = jax.lax.scan(
