@@ -1,0 +1,67 @@
+#!/bin/bash
+# Granular data campaign with a hang watchdog. Batch-4 vmapped granular
+# PUSH programs hang the remote TPU worker (CLAUDE.md); batch-2 is probed
+# once — if its first push round completes we keep batch-2 for throughput,
+# else we fall back to the known-good single-env sequential generator.
+# Hang detection: the stuck worker burns ~0 CPU ticks, so we sample
+# /proc/PID/stat and kill after STALL_MIN minutes without progress.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=/tmp/gran_campaign.log
+STALL_MIN=${STALL_MIN:-12}
+
+ticks() {  # utime+stime of pid $1 (0 if gone)
+  awk '{print $14+$15}' "/proc/$1/stat" 2>/dev/null || echo 0
+}
+
+run_watched() {  # run "$@" with a stall watchdog; rc 0 ok, 9 = killed-stalled
+  "$@" &
+  local pid=$!
+  local last=0 still=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    local now
+    now=$(ticks "$pid")
+    if [ "$now" -le "$((last + 30))" ]; then  # <30 ticks (~0.3 s CPU) in 1 min
+      still=$((still + 1))
+    else
+      still=0
+    fi
+    last=$now
+    if [ "$still" -ge "$STALL_MIN" ]; then
+      echo "[watchdog] pid $pid stalled ${STALL_MIN}m; killing" >> "$LOG"
+      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      wait "$pid" 2>/dev/null
+      return 9
+    fi
+  done
+  wait "$pid"
+}
+
+echo "[gran] batch-2 probe start $(date)" >> "$LOG"
+run_watched timeout 4800 python -m adaptigraph_tpu.sim.batch_env \
+  --config data_gen/granular --n-episode 2 --batch 2 \
+  --base 320 --out data/sim_data >> /tmp/gran_probe.log 2>&1
+rc=$?
+echo "[gran] batch-2 probe rc=$rc $(date)" >> "$LOG"
+
+if [ "$rc" -eq 0 ]; then
+  echo "[gran] batch-2 works; campaign at batch 2 $(date)" >> "$LOG"
+  run_watched timeout 14400 python -m adaptigraph_tpu.sim.batch_env \
+    --config data_gen/granular --n-episode "${GRAN_N:-14}" --batch 2 \
+    --base 330 --out data/sim_data >> /tmp/gran_batch.log 2>&1
+  echo "[gran] batch campaign rc=$? $(date)" >> "$LOG"
+else
+  echo "[gran] falling back to sequential $(date)" >> "$LOG"
+  bash scripts/tpu_watch.sh >> "$LOG" 2>&1
+  # sequential episodes, one watchdog per episode so a hang costs <=STALL_MIN
+  base=330
+  for i in $(seq 0 $(( ${GRAN_N:-14} - 1 ))); do
+    run_watched timeout 2400 python scripts/gen_granular_seq.py $((base + i)) 1 \
+      >> /tmp/gran_seq.log 2>&1
+    echo "[gran] seq episode $((base + i)) rc=$? $(date)" >> "$LOG"
+    bash scripts/tpu_watch.sh >> "$LOG" 2>&1
+  done
+fi
+echo "[gran] DONE $(date)" >> "$LOG"
