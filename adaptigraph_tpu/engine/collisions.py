@@ -92,18 +92,9 @@ def shape_sdf(p_world, kind, size, pos, quat, planes=None):
     return sd, n_world
 
 
-def shape_contact_deltas(pos_pred, pos_prev, shapes: ShapeSet, shape_pos,
-                         shape_quat, shape_vel, collision_distance, margin,
-                         dynamic_friction, dt):
+def shape_contact_deltas(pos_pred, pos_prev, shapes: ShapeSet, shape_pos, shape_quat,
+                         shape_vel, collision_distance, margin, dynamic_friction, dt):
     """Position corrections for particle-vs-kinematic-shape contacts.
-
-    COMPONENT-SPLIT: all particle-side math runs on (N,) lane-dense arrays
-    with a static Python loop over the M shapes — an (M, N, 3) vmap pays the
-    TPU lane padding 3 -> 128 on every elementwise op (~42x the payload;
-    measured ~32 us/iteration at the rope design point for a ~15-op pass).
-    Per-shape parameters are scalars, so each unrolled shape is ~60 pure-VPU
-    (N,)-ops. Semantics identical to `_shape_contact_deltas_ref`
-    (test_engine parity).
 
     Args:
       pos_pred: (N, 3) predicted positions this substep.
@@ -119,147 +110,6 @@ def shape_contact_deltas(pos_pred, pos_prev, shapes: ShapeSet, shape_pos,
     Returns: (delta (N, 3), count (N,)) — sum of corrections and number of
       active contacts per particle (for Jacobi averaging).
     """
-    cd = collision_distance
-    m_shapes = shapes.kind.shape[-1]
-    n_planes = shapes.planes.shape[-2]
-    px, py, pz = pos_pred[..., 0], pos_pred[..., 1], pos_pred[..., 2]
-    ux = pos_pred[..., 0] - pos_prev[..., 0]
-    uy = pos_pred[..., 1] - pos_prev[..., 1]
-    uz = pos_pred[..., 2] - pos_prev[..., 2]
-    zero = jnp.zeros_like(px)
-    ax = ay = az = cnt = zero
-
-    for m in range(m_shapes):
-        kind = shapes.kind[..., m]
-        size = shapes.size[..., m, :]
-        valid = shapes.valid[..., m]
-        spos = shape_pos[..., m, :]
-        svel = shape_vel[..., m, :]
-        q = shape_quat[..., m, :]
-        # world->local rotation (R^T) rows from the quaternion, as scalars
-        qx_, qy_, qz_, qw_ = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-        r00 = 1 - 2 * (qy_ * qy_ + qz_ * qz_)
-        r01 = 2 * (qx_ * qy_ - qz_ * qw_)
-        r02 = 2 * (qx_ * qz_ + qy_ * qw_)
-        r10 = 2 * (qx_ * qy_ + qz_ * qw_)
-        r11 = 1 - 2 * (qx_ * qx_ + qz_ * qz_)
-        r12 = 2 * (qy_ * qz_ - qx_ * qw_)
-        r20 = 2 * (qx_ * qz_ - qy_ * qw_)
-        r21 = 2 * (qy_ * qz_ + qx_ * qw_)
-        r22 = 1 - 2 * (qx_ * qx_ + qy_ * qy_)
-        wx = px - spos[..., 0]
-        wy = py - spos[..., 1]
-        wz = pz - spos[..., 2]
-        qxp = r00 * wx + r10 * wy + r20 * wz
-        qyp = r01 * wx + r11 * wy + r21 * wz
-        qzp = r02 * wx + r12 * wy + r22 * wz
-
-        # ---- box SDF ----
-        hx, hy, hz = size[..., 0], size[..., 1], size[..., 2]
-        dxb = jnp.abs(qxp) - hx
-        dyb = jnp.abs(qyp) - hy
-        dzb = jnp.abs(qzp) - hz
-        ox = jnp.maximum(dxb, 0.0)
-        oy = jnp.maximum(dyb, 0.0)
-        oz = jnp.maximum(dzb, 0.0)
-        dist_out = jnp.sqrt(ox * ox + oy * oy + oz * oz)
-        max_d = jnp.maximum(dxb, jnp.maximum(dyb, dzb))
-        sd_box = dist_out + jnp.minimum(max_d, 0.0)
-        inv_out = 1.0 / (dist_out + _EPS)
-        nbx_o = ox * jnp.sign(qxp) * inv_out
-        nby_o = oy * jnp.sign(qyp) * inv_out
-        nbz_o = oz * jnp.sign(qzp) * inv_out
-        # inside: face of least penetration; ties resolve first-axis like argmax
-        is_x = (dxb >= dyb) & (dxb >= dzb)
-        is_y = (~is_x) & (dyb >= dzb)
-        is_z = ~(is_x | is_y)
-        nbx_i = jnp.where(is_x, jnp.sign(qxp), 0.0)
-        nby_i = jnp.where(is_y, jnp.sign(qyp), 0.0)
-        nbz_i = jnp.where(is_z, jnp.sign(qzp), 0.0)
-        out_side = max_d > 0.0
-        nbx = jnp.where(out_side, nbx_o, nbx_i)
-        nby = jnp.where(out_side, nby_o, nby_i)
-        nbz = jnp.where(out_side, nbz_o, nbz_i)
-
-        # ---- capsule SDF (axis +x; size = (radius, half_len, _)) ----
-        r_c, hl = size[..., 0], size[..., 1]
-        a_c = jnp.clip(qxp, -hl, hl)
-        cdx = qxp - a_c
-        d2c = cdx * cdx + qyp * qyp + qzp * qzp
-        inv_dc = jax.lax.rsqrt(d2c + _EPS * _EPS)
-        dist_c = d2c * inv_dc
-        sd_cap = dist_c - r_c
-        ncx = cdx * inv_dc
-        ncy = qyp * inv_dc
-        ncz = qzp * inv_dc
-
-        # ---- plane SDF (local y-up) ----
-        sd_pl = qyp
-
-        is_box = kind == SHAPE_BOX
-        is_cap = kind == SHAPE_CAPSULE
-        sd = jnp.where(is_box, sd_box, jnp.where(is_cap, sd_cap, sd_pl))
-        nlx = jnp.where(is_box, nbx, jnp.where(is_cap, ncx, 0.0))
-        nly = jnp.where(is_box, nby, jnp.where(is_cap, ncy, 1.0))
-        nlz = jnp.where(is_box, nbz, jnp.where(is_cap, ncz, 0.0))
-
-        if n_planes > 0:
-            # ---- convex polytope: running max over halfspaces ----
-            planes = shapes.planes[..., m, :, :]
-            pn = planes[..., :3]
-            pd = planes[..., 3]
-            pvalid = jnp.sum(pn * pn, axis=-1) > 0.25
-            sd_cx = jnp.full_like(px, -3e37)
-            nxx = nxy = nxz = zero
-            any_valid = jnp.any(pvalid, axis=-1)
-            for p_i in range(n_planes):
-                n0, n1, n2 = pn[..., p_i, 0], pn[..., p_i, 1], pn[..., p_i, 2]
-                sp = qxp * n0 + qyp * n1 + qzp * n2 - pd[..., p_i]
-                sp = jnp.where(pvalid[..., p_i], sp, -3e37)
-                take = sp > sd_cx  # strict: first max wins ties, like argmax
-                sd_cx = jnp.where(take, sp, sd_cx)
-                nxx = jnp.where(take, n0, nxx)
-                nxy = jnp.where(take, n1, nxy)
-                nxz = jnp.where(take, n2, nxz)
-            sd_cx = jnp.where(any_valid, sd_cx, 3e37)
-            is_cx = kind == SHAPE_CONVEX
-            sd = jnp.where(is_cx, sd_cx, sd)
-            nlx = jnp.where(is_cx, nxx, nlx)
-            nly = jnp.where(is_cx, nxy, nly)
-            nlz = jnp.where(is_cx, nxz, nlz)
-
-        # local->world normal (R @ n)
-        nwx = r00 * nlx + r01 * nly + r02 * nlz
-        nwy = r10 * nlx + r11 * nly + r12 * nlz
-        nwz = r20 * nlx + r21 * nly + r22 * nlz
-
-        pen = cd - sd
-        contact = (pen > 0.0) & valid
-        cf = jnp.where(contact, 1.0, 0.0)
-        # Coulomb friction on the tangential relative displacement
-        rx = ux - svel[..., 0] * dt
-        ry = uy - svel[..., 1] * dt
-        rz = uz - svel[..., 2] * dt
-        rel_n = rx * nwx + ry * nwy + rz * nwz
-        tx = rx - nwx * rel_n
-        ty = ry - nwy * rel_n
-        tz = rz - nwz * rel_n
-        t_norm = jnp.sqrt(tx * tx + ty * ty + tz * tz)
-        max_slide = dynamic_friction * jnp.abs(pen)
-        scale = jnp.minimum(1.0, max_slide / (t_norm + _EPS)) * cf
-        ax = ax + nwx * (pen * cf) - tx * scale
-        ay = ay + nwy * (pen * cf) - ty * scale
-        az = az + nwz * (pen * cf) - tz * scale
-        cnt = cnt + cf
-
-    return jnp.stack([ax, ay, az], axis=-1), cnt
-
-
-def _shape_contact_deltas_ref(pos_pred, pos_prev, shapes: ShapeSet, shape_pos,
-                              shape_quat, shape_vel, collision_distance, margin,
-                              dynamic_friction, dt):
-    """Reference (M, N, 3)-vmapped form of shape_contact_deltas — kept for
-    the component-split parity test."""
     cd = collision_distance
 
     def one_shape(kind, size, spos, squat, svel, valid, planes):

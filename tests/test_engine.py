@@ -14,7 +14,6 @@ from adaptigraph_tpu.engine import (
     SHAPE_BOX,
     SHAPE_CAPSULE,
     SHAPE_PLANE,
-    SHAPE_CONVEX,
     xpbd_step,
     rollout_steps,
     neighbor_list,
@@ -168,44 +167,6 @@ class TestContacts:
             st = xpbd_step(st, spec, substeps=2, iterations=8)
         pos = np.asarray(st.particles.pos)
         assert np.linalg.norm(pos[0] - pos[1]) == pytest.approx(0.02, abs=1e-5)
-
-
-class TestShapeContactSplit:
-    def test_component_split_matches_reference_all_kinds(self):
-        """shape_contact_deltas (component-split) == the (M, N, 3)-vmapped
-        reference form, across box/capsule/plane/convex shapes at random
-        poses with penetrating + separated particles."""
-        from adaptigraph_tpu.engine.collisions import (
-            _shape_contact_deltas_ref, shape_contact_deltas)
-        from adaptigraph_tpu.utils import geometry as geo
-
-        rng = np.random.RandomState(7)
-        n = 257
-        pos = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32))
-        prev = pos + jnp.asarray(rng.normal(0, 0.02, (n, 3)).astype(np.float32))
-        # convex: a tetrahedron-ish hull plus padding rows
-        planes = np.zeros((4, 6, 4), np.float32)
-        tet = np.array([[1, 1, 1], [-1, -1, 1], [-1, 1, -1], [1, -1, -1]], np.float32)
-        tet /= np.linalg.norm(tet, axis=1, keepdims=True)
-        planes[3, :4, :3] = tet
-        planes[3, :4, 3] = 0.4
-        q_raw = rng.normal(0, 1, (4, 4)).astype(np.float32)
-        quat = np.asarray(q_raw / np.linalg.norm(q_raw, axis=1, keepdims=True))
-        shapes = make_shapes(
-            [SHAPE_PLANE, SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CONVEX],
-            [[0, 0, 0], [0.6, 0.4, 0.5], [0.3, 0.7, 0], [0, 0, 0]],
-            [[0, -0.2, 0], [0.2, 0.1, -0.3], [-0.4, 0.3, 0.2], [0.5, -0.1, 0.4]],
-            quat, m_max=4, planes=planes)
-        svel = jnp.asarray(rng.normal(0, 0.5, (4, 3)).astype(np.float32))
-        args = (pos, prev, shapes, shapes.pos, shapes.quat, svel,
-                jnp.float32(0.08), jnp.float32(0.01), jnp.float32(0.4),
-                jnp.float32(1 / 60))
-        d_new, c_new = shape_contact_deltas(*args)
-        d_ref, c_ref = _shape_contact_deltas_ref(*args)
-        np.testing.assert_allclose(np.asarray(c_new), np.asarray(c_ref))
-        assert float(jnp.sum(c_new)) > 10  # scenario actually has contacts
-        np.testing.assert_allclose(np.asarray(d_new), np.asarray(d_ref),
-                                   atol=2e-5)
 
 
 class TestShapeMatching:
