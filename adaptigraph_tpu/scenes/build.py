@@ -55,7 +55,10 @@ MATERIAL_CAPS = {
     # by_granular.h:22-72) now that the block-sparse contact path removed
     # the 16k remote-worker hang; any residual truncation is stamped into
     # property_params
-    "granular": Caps(n=32768, s=0, c=768, k=640, m=8),
+    # k=1024: a granule blob voxel-samples at most a 10^3 grid at the
+    # sampler's max granular_scale 0.3 / radius 0.03 (=1000 members);
+    # k=640 overflowed on large-blob seeds (e.g. 320: 688, 330: 732)
+    "granular": Caps(n=32768, s=0, c=768, k=1024, m=8),
     "cloth": Caps(n=4900, s=30720, c=0, k=0, m=8),
 }
 
