@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -48,7 +49,7 @@ def make_apply(model):
     return apply
 
 
-def make_train_step(model, n_future: int, optimizer):
+def make_unrolled_loss(model, n_future: int):
     apply = make_apply(model)
 
     def unrolled_loss(params, batch):
@@ -70,6 +71,12 @@ def make_train_step(model, n_future: int, optimizer):
                 action = batch["action_future"][:, fi]
         return loss
 
+    return unrolled_loss
+
+
+def make_train_step(model, n_future: int, optimizer):
+    unrolled_loss = make_unrolled_loss(model, n_future)
+
     @jax.jit
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(unrolled_loss)(params, batch)
@@ -82,6 +89,123 @@ def make_train_step(model, n_future: int, optimizer):
         return unrolled_loss(params, batch)
 
     return train_step, eval_step
+
+
+def device_dataset(datasets: dict, max_bytes: float = 6e9):
+    """Upload the WHOLE dataset to device HBM for on-device batch gathering.
+
+    The per-iteration host loop costs ~3 tunnel round trips (raw transfer,
+    train dispatch, loss sync) — a ~90 ms floor per step on the remote-TPU
+    path regardless of compute. With episode frames resident in HBM the
+    host only ships (K, B) int32 pair indices per K-step chunk
+    (`make_train_chunk`), so step cost approaches device compute time.
+
+    Returns (common, pairs_by_phase) where common holds the padded frame /
+    physics arrays shared by all phases and pairs_by_phase maps each phase
+    to its (P, 1+T_w) int32 pair table — or (None, None) if the padded
+    arrays would exceed `max_bytes` (caller falls back to the host loop).
+    """
+    d0 = next(iter(datasets.values()))
+    t_max = max(o.shape[0] for o in d0.obj_pos)
+    e = len(d0.obj_pos)
+    n_raw, n_eef = d0.n_raw, d0.n_eef
+    total = e * t_max * (n_raw + n_eef) * 3 * 4
+    if total > max_bytes:
+        return None, None
+    obj = np.zeros((e, t_max, n_raw, 3), np.float32)
+    eef = np.zeros((e, t_max, n_eef, 3), np.float32)
+    nobj = np.zeros((e,), np.int32)
+    phys = np.zeros((e, d0.phys_dim), np.float32)
+    for i, (o, ee) in enumerate(zip(d0.obj_pos, d0.eef_pos)):
+        obj[i, : o.shape[0], : o.shape[1]] = o
+        eef[i, : ee.shape[0]] = ee
+        nobj[i] = o.shape[1]
+        phys[i] = d0.physics_params[i][d0.material]
+    common = {"obj": jnp.asarray(obj), "eef": jnp.asarray(eef),
+              "nobj": jnp.asarray(nobj), "phys": jnp.asarray(phys)}
+    pairs = {p: jnp.asarray(d.pair_lists.astype(np.int32))
+             for p, d in datasets.items()}
+    return common, pairs
+
+
+def _gather_raw(common, pairs, idx_row):
+    """Device-side equivalent of DynDataset.raw_batch: (B,) pair indices ->
+    raw window dict (same keys/shapes/zero-padding)."""
+    rows = pairs[idx_row]  # (B, 1+T_w)
+    epi = rows[:, 0]
+    frames = rows[:, 1:]  # (B, T_w)
+    obj = common["obj"][epi[:, None], frames]  # (B, T_w, n_raw, 3)
+    # zero rows beyond each episode's raw particle count (raw_batch pads the
+    # same way; episodes share the padded n_raw axis here)
+    nobj_raw = common["nobj"][epi]
+    keep = (jnp.arange(obj.shape[2])[None, None, :, None]
+            < nobj_raw[:, None, None, None])
+    obj = jnp.where(keep, obj, 0.0)
+    eef = common["eef"][epi[:, None], frames]
+    return {"obj": obj, "eef": eef, "nobj_raw": nobj_raw,
+            "physics": common["phys"][epi]}
+
+
+def make_train_chunk(model, n_future: int, optimizer, dataset: DynDataset,
+                     common, pairs, mesh):
+    """K-step fused training: one device program runs K (gather -> graph
+    prep -> forward/backward -> update) iterations under lax.scan over a
+    device-resident dataset. Host supplies (K, B) indices + one PRNG key."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    unrolled_loss = make_unrolled_loss(model, n_future)
+    kwargs = dict(
+        n_his=dataset.n_his, n_future=dataset.n_future,
+        max_nobj=dataset.max_nobj, max_nR=dataset.max_nR,
+        fps_radius_range=dataset.fps_radius_range,
+        adj_radius_range=dataset.adj_radius_range, topk=dataset.topk,
+        connect_tool_all=dataset.connect_tool_all,
+        state_noise=dataset.state_noise, phys_noise=dataset.phys_noise,
+        augment=dataset.augment)
+    from adaptigraph_tpu.dynamics.dataset import _prepare_one
+
+    one = partial(_prepare_one, **kwargs)
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    def batch_graphs(idx_row, key):
+        raw = _gather_raw(common, pairs, idx_row)
+        keys = jax.random.split(key, idx_row.shape[0])
+        g = jax.vmap(one)(raw["obj"], raw["eef"], raw["nobj_raw"],
+                          raw["physics"], keys)
+        if mesh.devices.size > 1:
+            g = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), g)
+        return g
+
+    @jax.jit
+    def train_chunk(params, opt_state, idxs, key):
+        keys = jax.random.split(key, idxs.shape[0])
+
+        def body(carry, x):
+            params, opt_state = carry
+            idx_row, k = x
+            g = batch_graphs(idx_row, k)
+            loss, grads = jax.value_and_grad(unrolled_loss)(params, g)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idxs, keys))
+        return params, opt_state, losses
+
+    @jax.jit
+    def eval_chunk(params, idxs, key):
+        keys = jax.random.split(key, idxs.shape[0])
+
+        def body(_, x):
+            idx_row, k = x
+            return None, unrolled_loss(params, batch_graphs(idx_row, k))
+
+        _, losses = jax.lax.scan(body, None, (idxs, keys))
+        return losses
+
+    return train_chunk, eval_chunk
 
 
 def init_model(config, dataset: DynDataset):
@@ -121,7 +245,8 @@ def load_checkpoint(ckpt_dir, name, params_like):
     return restored["params"]
 
 
-def train(config, epochs=None, iters=None, batch_size=None, mesh=None):
+def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
+          steps_per_call=8):
     dataset_config = config["dataset_config"]
     train_config = config["train_config"]
     out_dir = os.path.join(train_config["out_dir"], dataset_config["data_name"])
@@ -149,6 +274,17 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None):
     rng = np.random.RandomState(train_config.get("random_seed", 42))
     key = jax.random.PRNGKey(train_config.get("random_seed", 42))
 
+    # device-resident dataset + K-step fused chunks when the padded frame
+    # arrays fit in HBM (they are tens-to-hundreds of MB at campaign scale);
+    # falls back to the per-step host loop otherwise
+    chunks = None
+    if steps_per_call and steps_per_call > 1:
+        common, pairs = device_dataset(datasets)
+        if common is not None:
+            chunks = {p: make_train_chunk(model, n_future, optimizer,
+                                          datasets[p], common, pairs[p], mesh)
+                      for p in datasets}
+
     history = {"train": [], "valid": []}
     for epoch in range(n_epochs):
         t0 = time.time()
@@ -157,19 +293,39 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None):
             n_iters = iters if iters is not None else int(
                 train_config["n_iters_per_epoch"][phase])
             losses = []
-            for it in range(n_iters):
-                idxs = rng.randint(0, len(d), size=b)
-                raw = d.raw_batch(idxs)
-                key, sub = jax.random.split(key)
-                g = preps[phase](raw, sub)
-                g = shard_batch(g, mesh)
-                if phase == "train":
-                    params, opt_state, loss = train_step(params, opt_state, g)
-                else:
-                    loss = eval_step(params, g)
-                losses.append(float(loss))
-                if phase == "train" and it % int(train_config.get("log_interval", 50)) == 0:
-                    print(f"epoch {epoch} iter {it} loss {losses[-1]:.6f}", flush=True)
+            if chunks is not None:
+                k = steps_per_call
+                train_chunk, eval_chunk = chunks[phase]
+                for c0 in range(0, n_iters, k):
+                    # fixed (K, B) shape: the last chunk may overshoot
+                    # n_iters (extra optimizer steps are harmless and avoid
+                    # compiling a second program shape)
+                    idxs = rng.randint(0, len(d), size=(k, b)).astype(np.int32)
+                    key, sub = jax.random.split(key)
+                    if phase == "train":
+                        params, opt_state, ls = train_chunk(
+                            params, opt_state, idxs, sub)
+                    else:
+                        ls = eval_chunk(params, idxs, sub)
+                    losses.extend(float(x) for x in np.asarray(ls))
+                    if phase == "train" and (c0 // k) % max(
+                            1, int(train_config.get("log_interval", 50)) // k) == 0:
+                        print(f"epoch {epoch} iter {c0} loss {losses[-1]:.6f}",
+                              flush=True)
+            else:
+                for it in range(n_iters):
+                    idxs = rng.randint(0, len(d), size=b)
+                    raw = d.raw_batch(idxs)
+                    key, sub = jax.random.split(key)
+                    g = preps[phase](raw, sub)
+                    g = shard_batch(g, mesh)
+                    if phase == "train":
+                        params, opt_state, loss = train_step(params, opt_state, g)
+                    else:
+                        loss = eval_step(params, g)
+                    losses.append(float(loss))
+                    if phase == "train" and it % int(train_config.get("log_interval", 50)) == 0:
+                        print(f"epoch {epoch} iter {it} loss {losses[-1]:.6f}", flush=True)
             history[phase].append(float(np.mean(losses)))
             print(f"epoch {epoch} {phase} loss {history[phase][-1]:.6f}", flush=True)
 

@@ -111,6 +111,33 @@ class TestPreprocessTrainRollout:
         pairs = os.listdir(os.path.join(prep, "frame_pairs"))
         assert len(pairs) >= 3
 
+    def test_device_dataset_gather_matches_host(self, mini_world):
+        """The device-resident gather (train.device_dataset/_gather_raw)
+        must reproduce DynDataset.raw_batch bit-for-bit — it replaces the
+        host raw gather inside the fused K-step training chunks."""
+        from adaptigraph_tpu.dynamics.dataset import DynDataset
+        from adaptigraph_tpu.dynamics.train import _gather_raw, device_dataset
+
+        cfg = mini_world["dyn_cfg"]
+        d = DynDataset(cfg["dataset_config"], cfg["material_config"], "train")
+        common, pairs = device_dataset({"train": d})
+        assert common is not None
+        idxs = np.arange(min(6, len(d)))
+        raw = d.raw_batch(idxs)
+        dev = _gather_raw(common, pairs["train"], jnp.asarray(idxs, jnp.int32))
+        for k_ in raw:
+            np.testing.assert_array_equal(raw[k_], np.asarray(dev[k_]),
+                                          err_msg=k_)
+
+    def test_train_fallback_host_loop(self, mini_world):
+        """steps_per_call=None routes through the original per-step host
+        loop; it must still train."""
+        from adaptigraph_tpu.dynamics.train import train
+
+        cfg = mini_world["dyn_cfg"]
+        params, history = train(cfg, epochs=1, steps_per_call=None)
+        assert np.isfinite(history["train"]).all()
+
     def test_train_and_rollout_and_plan(self, mini_world):
         from adaptigraph_tpu.dynamics.train import train
         from adaptigraph_tpu.dynamics.rollout import rollout
