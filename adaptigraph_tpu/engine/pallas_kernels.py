@@ -134,7 +134,7 @@ def _pair_block(r, c, i_row0, j_col0, rest_dist, friction, filter_dist):
     return jnp.stack([ddx, ddy, ddz, cnt], axis=1)  # (TILE, 4)
 
 
-def _make_block_sparse_kernel(tile: int):
+def _make_block_sparse_kernel(tile: int, rest_filter: bool = True):
     def kernel(scal_ref, cnt_ref, idx_ref, rows_ref, cols_ref, out_ref):
         """One row tile i: loop only its AABB-overlapping col blocks.
 
@@ -169,13 +169,19 @@ def _make_block_sparse_kernel(tile: int):
             dz = zi - c[2:3, :]
             d2 = dx * dx + dy * dy + dz * dz
             same_group = jnp.abs(r[:, 6:7] - c[6:7, :]) < 0.5
-            pair_sc = (r[:, 8:9] > 0.5) & (c[8:9, :] > 0.5)
-            rdx = r[:, 9:10] - c[9:10, :]
-            rdy = r[:, 10:11] - c[10:11, :]
-            rdz = r[:, 11:12] - c[11:12, :]
-            rest_near = (rdx * rdx + rdy * rdy + rdz * rdz
-                         < filter_dist * filter_dist)
-            collide = (~same_group) | (pair_sc & ~rest_near)
+            if rest_filter:
+                pair_sc = (r[:, 8:9] > 0.5) & (c[8:9, :] > 0.5)
+                rdx = r[:, 9:10] - c[9:10, :]
+                rdy = r[:, 10:11] - c[10:11, :]
+                rdz = r[:, 11:12] - c[11:12, :]
+                rest_near = (rdx * rdx + rdy * rdy + rdz * rdz
+                             < filter_dist * filter_dist)
+                collide = (~same_group) | (pair_sc & ~rest_near)
+            else:
+                # no particle has self-collide set (e.g. granular: each
+                # rigid granule is its own group): the rest-distance filter
+                # is statically dead and detection drops ~45% of its VPU ops
+                collide = ~same_group
             # d2 > tiny doubles as the self-pair exclusion (and coincident
             # distinct particles produce ~zero delta anyway)
             contact = ((d2 < rest_dist * rest_dist) & (d2 > 1e-14) & collide
@@ -218,7 +224,7 @@ def _make_block_sparse_kernel(tile: int):
     return kernel
 
 
-def _make_refine_kernel(tile: int):
+def _make_refine_kernel(tile: int, rest_filter: bool = True):
     def kernel(scal_ref, cnt_ref, idx_ref, rows_ref, cols_ref, out_ref):
         """Pair-level refinement of one row tile's AABB-admitted col blocks.
 
@@ -253,13 +259,16 @@ def _make_refine_kernel(tile: int):
             dz = zi - c[2:3, :]
             d2 = dx * dx + dy * dy + dz * dz
             same_group = jnp.abs(r[:, 6:7] - c[6:7, :]) < 0.5
-            pair_sc = (r[:, 8:9] > 0.5) & (c[8:9, :] > 0.5)
-            rdx = r[:, 9:10] - c[9:10, :]
-            rdy = r[:, 10:11] - c[10:11, :]
-            rdz = r[:, 11:12] - c[11:12, :]
-            rest_near = (rdx * rdx + rdy * rdy + rdz * rdz
-                         < filter_dist * filter_dist)
-            collide = (~same_group) | (pair_sc & ~rest_near)
+            if rest_filter:
+                pair_sc = (r[:, 8:9] > 0.5) & (c[8:9, :] > 0.5)
+                rdx = r[:, 9:10] - c[9:10, :]
+                rdy = r[:, 10:11] - c[10:11, :]
+                rdz = r[:, 11:12] - c[11:12, :]
+                rest_near = (rdx * rdx + rdy * rdy + rdz * rdz
+                             < filter_dist * filter_dist)
+                collide = (~same_group) | (pair_sc & ~rest_near)
+            else:
+                collide = ~same_group
             wsum = r[:, 7:8] + c[7:8, :]
             near = ((d2 < keep_dist * keep_dist) & (d2 > 1e-14) & collide
                     & (wsum > 0.0)
@@ -274,10 +283,11 @@ def _make_refine_kernel(tile: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile"))
+@partial(jax.jit, static_argnames=("interpret", "tile", "rest_filter"))
 def refine_overlap_blocks(pos, pos_prev, group, inv_mass, self_collide, active,
                           rest_pos, keep_dist, filter_dist, block_idx,
-                          block_cnt, interpret: bool = False, tile: int = TILE):
+                          block_cnt, interpret: bool = False, tile: int = TILE,
+                          rest_filter: bool = True):
     """Shrink tile_overlap_blocks' AABB-admitted lists to blocks holding an
     eligible pair within `keep_dist` (computed once per frame; the solver
     iterations then sweep only these). Returns (block_idx, block_cnt) in
@@ -286,13 +296,15 @@ def refine_overlap_blocks(pos, pos_prev, group, inv_mass, self_collide, active,
                                      self_collide, active, rest_pos, tile=tile)
     return refine_overlap_blocks_packed(pos.shape[0], rows, cols, keep_dist,
                                         filter_dist, block_idx, block_cnt,
-                                        interpret=interpret, tile=tile)
+                                        interpret=interpret, tile=tile,
+                                        rest_filter=rest_filter)
 
 
-@partial(jax.jit, static_argnames=("n", "interpret", "tile"))
+@partial(jax.jit, static_argnames=("n", "interpret", "tile", "rest_filter"))
 def refine_overlap_blocks_packed(n: int, rows, cols, keep_dist, filter_dist,
                                  block_idx, block_cnt,
-                                 interpret: bool = False, tile: int = TILE):
+                                 interpret: bool = False, tile: int = TILE,
+                                 rest_filter: bool = True):
     """refine_overlap_blocks over prepacked attribute tables."""
     n_pad = cols.shape[1]
     scal = jnp.array([[keep_dist, 0.0, filter_dist, float(n)]],
@@ -305,7 +317,7 @@ def refine_overlap_blocks_packed(n: int, rows, cols, keep_dist, filter_dist,
     cnt2d = block_cnt.reshape(nb, 1).astype(jnp.int32)
 
     flags = pl.pallas_call(
-        _make_refine_kernel(tile),
+        _make_refine_kernel(tile, rest_filter),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -391,11 +403,12 @@ def update_contact_tables(rows, cols, pos, pos_prev=None):
     return rows, cols
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile"))
+@partial(jax.jit, static_argnames=("interpret", "tile", "rest_filter"))
 def block_sparse_contact_deltas(pos, pos_prev, group, inv_mass, self_collide,
                                 active, rest_pos, rest_dist, particle_friction,
                                 filter_dist, block_idx, block_cnt,
-                                interpret: bool = False, tile: int = TILE):
+                                interpret: bool = False, tile: int = TILE,
+                                rest_filter: bool = True):
     """All-pairs contact corrections restricted to AABB-overlapping tile
     blocks (the scalable O(N·K_blocks) path; same contract as
     dense_contact_deltas). block_idx/block_cnt come from
@@ -404,15 +417,17 @@ def block_sparse_contact_deltas(pos, pos_prev, group, inv_mass, self_collide,
                                      self_collide, active, rest_pos, tile=tile)
     return block_sparse_contact_deltas_packed(
         pos.shape[0], rows, cols, rest_dist, particle_friction, filter_dist,
-        block_idx, block_cnt, interpret=interpret, tile=tile)
+        block_idx, block_cnt, interpret=interpret, tile=tile,
+        rest_filter=rest_filter)
 
 
-@partial(jax.jit, static_argnames=("n", "interpret", "tile"))
+@partial(jax.jit, static_argnames=("n", "interpret", "tile", "rest_filter"))
 def block_sparse_contact_deltas_packed(n: int, rows, cols, rest_dist,
                                        particle_friction, filter_dist,
                                        block_idx, block_cnt,
                                        interpret: bool = False,
-                                       tile: int = TILE):
+                                       tile: int = TILE,
+                                       rest_filter: bool = True):
     """Block-sparse contact sweep over prepacked attribute tables (see
     pack_contact_tables). Returns (delta (n, 3), count (n,))."""
     n_pad = cols.shape[1]
@@ -422,7 +437,7 @@ def block_sparse_contact_deltas_packed(n: int, rows, cols, rest_dist,
     cnt2d = block_cnt.reshape(nb, 1).astype(jnp.int32)
 
     out = pl.pallas_call(
-        _make_block_sparse_kernel(tile),
+        _make_block_sparse_kernel(tile, rest_filter),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),

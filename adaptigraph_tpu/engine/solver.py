@@ -376,7 +376,8 @@ def _nlerp(q0, q1, t):
 def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
              shapes: ShapeSet, s_pos, s_quat, s_vel, nbr_idx, eligible, share,
              dt, iterations: int, mode: str = "sparse", interpret: bool = False,
-             cluster_rest=None, blocks=None, tables=None):
+             cluster_rest=None, blocks=None, tables=None,
+             rest_filter: bool = True):
     p = particles
     prm = spec.params
     movable = (p.inv_mass > 0) & p.active
@@ -422,7 +423,8 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
             delta_c, cnt = block_sparse_contact_deltas_packed(
                 pos.shape[0], rows_i, cols_i, prm.solid_rest_distance,
                 prm.particle_friction, prm.collide_filter_dist,
-                block_idx, block_cnt, interpret=interpret)
+                block_idx, block_cnt, interpret=interpret,
+                rest_filter=rest_filter)
         else:
             delta_c, cnt = _particle_contact_deltas(
                 pos, pos_prev, nbr_idx, eligible, share,
@@ -487,10 +489,12 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
 
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
-                                   "dense_contacts", "contact_mode"))
+                                   "dense_contacts", "contact_mode",
+                                   "rest_filter"))
 def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int,
               neighbor_k: int = 24, dense_contacts: bool | None = None,
-              contact_mode: str | None = None) -> SceneState:
+              contact_mode: str | None = None,
+              rest_filter: bool | None = None) -> SceneState:
     """One outer sim frame (dt = params.dt), matching pyflex.step semantics:
     kinematic shapes move from their prev pose to their current pose across
     the substeps; particles respond.
@@ -503,7 +507,14 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
 
     Callers update shape targets via `state.shapes.moved_to(pos, quat)`
     before stepping (the analogue of pyflex.set_shape_states,
-    pyflex.cpp:3187)."""
+    pyflex.cpp:3187).
+
+    rest_filter: static hint that some particle has the self-collide phase
+    bit set (NvFlex eNvFlexPhaseSelfCollide + the rest-distance filter,
+    eNvFlexPhaseSelfCollideFilter). Scenes where no particle self-collides
+    (granular: one group per rigid granule) may pass False and the contact
+    kernels drop the statically-dead rest-distance pair math (~45% of the
+    detection stage's VPU ops). None = True (always-correct default)."""
     prm = spec.params
     dt_sub = prm.dt / substeps
     shapes = state.shapes
@@ -521,6 +532,7 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             # at scale the AABB-culled block sweep skips far tile pairs
             contact_mode = "dense" if n <= 2048 else "block"
     interpret = jax.default_backend() == "cpu"
+    rest_filter = True if rest_filter is None else rest_filter
     nbr_idx = eligible = share = blocks = tables = None
     overflow = jnp.int32(0)
     if contact_mode == "block":
@@ -564,7 +576,8 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             jnp.maximum(prm.radius * 1.5, prm.solid_rest_distance * 1.05))
         block_idx, block_cnt = refine_overlap_blocks_packed(
             p0.pos.shape[0], *tables, keep_dist, prm.collide_filter_dist,
-            block_idx, block_cnt, interpret=interpret)
+            block_idx, block_cnt, interpret=interpret,
+            rest_filter=rest_filter)
         blocks = (block_idx, block_cnt)
     elif contact_mode == "sparse":
         # neighbor find ONCE per outer frame: dense masked top-k for tiny
@@ -585,7 +598,8 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             particles, cl_rot, gl_rot, spec, shapes, s_pos, s_quat, s_vel,
             nbr_idx, eligible, share, dt_sub, iterations,
             mode=contact_mode, interpret=interpret,
-            cluster_rest=cl_rest, blocks=blocks, tables=tables)
+            cluster_rest=cl_rest, blocks=blocks, tables=tables,
+            rest_filter=rest_filter)
         return (particles, cl_rot, gl_rot, cl_rest), None
 
     (particles, cl_rot, gl_rot, cl_rest), _ = jax.lax.scan(
@@ -598,10 +612,11 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
 
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
-                                   "record", "contact_mode"))
+                                   "record", "contact_mode", "rest_filter"))
 def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat_traj,
                   substeps: int, iterations: int, neighbor_k: int = 24,
-                  record: bool = True, contact_mode: str | None = None):
+                  record: bool = True, contact_mode: str | None = None,
+                  rest_filter: bool | None = None):
     """Scan a whole tool trajectory on device (T outer frames).
 
     shape_pos_traj: (T, M, 3), shape_quat_traj: (T, M, 4) — per-frame target
@@ -614,7 +629,7 @@ def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat
         pos_t, quat_t = tgt
         st = st._replace(shapes=st.shapes.moved_to(pos_t, quat_t))
         st = xpbd_step(st, spec, substeps, iterations, neighbor_k,
-                       contact_mode=contact_mode)
+                       contact_mode=contact_mode, rest_filter=rest_filter)
         out = st.particles.pos if record else None
         return st, out
 

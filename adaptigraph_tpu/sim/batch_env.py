@@ -95,6 +95,7 @@ class BatchSimEnv:
     def _compile(self):
         e0 = self.envs[0]
         substeps, iterations = self.substeps, self.iterations
+        rest_filter = e0.rest_filter
         tool_slot0, n_tool = e0.tool_slot0, e0.n_tool
         arm_slot0, n_arm = e0.arm_slot0, e0.n_arm
 
@@ -117,7 +118,8 @@ class BatchSimEnv:
             w2 = p.inv_mass.at[attach_idx].set(
                 jnp.where(on, 0.0, p.inv_mass[attach_idx]))
             st = st._replace(particles=p._replace(pos=pos2, inv_mass=w2))
-            st = xpbd_step(st, spec, substeps, iterations)
+            st = xpbd_step(st, spec, substeps, iterations,
+                           rest_filter=rest_filter)
             return st, None
 
         def run_group(state, spec, eefs, rots, gaps, atts, lps, lqs,

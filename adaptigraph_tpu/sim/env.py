@@ -204,6 +204,10 @@ class SimEnv:
         self.state, self.spec = b.state, b.spec
         self.n_active = b.n_active
         self.substeps, self.iterations = b.substeps, b.iterations
+        # static kernel specialization: scenes with no self-colliding
+        # particles (granular) skip the rest-distance pair filter entirely
+        self.rest_filter = bool(
+            np.any(np.asarray(b.state.particles.self_collide)[: b.n_active]))
         self.props = b.props
         # static (dimx, dimz) for surfel-shaded cloth splats (render.py)
         self._cloth_dims = ((int(b.scene["dimx"]), int(b.scene["dimz"]))
@@ -264,6 +268,7 @@ class SimEnv:
     def _compile_push(self):
         caps = self.caps
         substeps, iterations = self.substeps, self.iterations
+        rest_filter = self.rest_filter
         tool_slot0, n_tool = self.tool_slot0, self.n_tool
         arm_slot0, n_arm = self.arm_slot0, self.n_arm
         env = self
@@ -300,7 +305,8 @@ class SimEnv:
                 w2 = p.inv_mass.at[attach_idx].set(
                     jnp.where(on, 0.0, p.inv_mass[attach_idx]))
                 st = st._replace(particles=p._replace(pos=pos2, inv_mass=w2))
-                st = xpbd_step(st, spec, substeps, iterations)
+                st = xpbd_step(st, spec, substeps, iterations,
+                               rest_filter=rest_filter)
                 return st, None
 
             def one_chunk(st, inp):

@@ -55,10 +55,15 @@ if [ "$rc" -eq 0 ]; then
 else
   echo "[gran] falling back to sequential $(date)" >> "$LOG"
   bash scripts/tpu_watch.sh >> "$LOG" 2>&1
-  # sequential episodes, one watchdog per episode so a hang costs <=STALL_MIN
-  base=330
+  # sequential episodes, one watchdog per episode. A HEALTHY granular
+  # episode is mostly host-idle (remote compiles + on-device pushes), so
+  # the stall window must exceed a full episode's idle stretch — 12 min
+  # killed a live episode mid-push; the real hang signature is ~0 ticks
+  # for 25+ min (CLAUDE.md), and `timeout` still bounds the worst case.
+  STALL_MIN=${STALL_MIN_SEQ:-28}
+  base=${GRAN_BASE:-330}
   for i in $(seq 0 $(( ${GRAN_N:-14} - 1 ))); do
-    run_watched timeout 2400 python scripts/gen_granular_seq.py $((base + i)) 1 \
+    run_watched timeout 2700 python scripts/gen_granular_seq.py $((base + i)) 1 \
       >> /tmp/gran_seq.log 2>&1
     echo "[gran] seq episode $((base + i)) rc=$? $(date)" >> "$LOG"
     bash scripts/tpu_watch.sh >> "$LOG" 2>&1

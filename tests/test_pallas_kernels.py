@@ -98,3 +98,46 @@ def test_inactive_and_padding_rows_are_zero():
     np.testing.assert_allclose(np.asarray(c)[100:], 0.0)
     # active overlapping particles DO produce contacts
     assert np.asarray(c)[:100].sum() > 0
+
+
+def test_rest_filter_off_matches_on_for_non_self_colliding():
+    """Granular-style particle sets (per-granule groups, no self-collide
+    bit) must produce IDENTICAL contact deltas with the rest-distance
+    filter statically compiled out (rest_filter=False) — it is the
+    specialization the granular solver path uses."""
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        block_sparse_contact_deltas, refine_overlap_blocks,
+        tile_overlap_blocks)
+
+    rng = np.random.RandomState(7)
+    n = 512
+    # a loose pile: clumps of 32 (one group each) with inter-clump overlap
+    pos = (rng.rand(n, 3).astype(np.float32) * 0.8
+           + rng.randn(n, 3).astype(np.float32) * 0.01)
+    pos = jnp.array(pos)
+    group = jnp.array(np.arange(n) // 32, jnp.int32)
+    inv_mass = jnp.ones(n)
+    sc = jnp.zeros(n, bool)  # no particle self-collides
+    active = jnp.ones(n, bool)
+    rest_pos = jnp.array(rng.rand(n, 3).astype(np.float32))
+    rest_dist, friction, filter_dist = 0.06, 0.25, 0.03
+
+    bidx, bcnt, _ = tile_overlap_blocks(pos, active, rest_dist * 1.5)
+    args = (pos, pos, group, inv_mass, sc, active, rest_pos)
+    r_on = refine_overlap_blocks(*args, rest_dist * 1.5, filter_dist,
+                                 bidx, bcnt, interpret=True, rest_filter=True)
+    r_off = refine_overlap_blocks(*args, rest_dist * 1.5, filter_dist,
+                                  bidx, bcnt, interpret=True,
+                                  rest_filter=False)
+    np.testing.assert_array_equal(np.asarray(r_on[1]), np.asarray(r_off[1]))
+
+    sweep = (pos, pos, group, inv_mass, sc, active, rest_pos, rest_dist,
+             friction, filter_dist)
+    d_on, c_on = block_sparse_contact_deltas(*sweep, bidx, bcnt,
+                                             interpret=True, rest_filter=True)
+    d_off, c_off = block_sparse_contact_deltas(*sweep, bidx, bcnt,
+                                               interpret=True,
+                                               rest_filter=False)
+    assert np.asarray(c_on).sum() > 0  # the pile genuinely has contacts
+    np.testing.assert_array_equal(np.asarray(c_on), np.asarray(c_off))
+    np.testing.assert_array_equal(np.asarray(d_on), np.asarray(d_off))
