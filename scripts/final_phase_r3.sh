@@ -12,10 +12,13 @@ echo "[final] start $(date)" >> $LOG
 # stale preprocess caches reflect the pre-campaign episode sets
 rm -rf data/preprocess/rope data/preprocess/granular data/preprocess/cloth
 
+# chunked device-resident training (train.py steps_per_call) makes a
+# reference-comparable budget affordable: 40 epochs x 500 iters x batch 128
+# = 20k optimizer steps per material
 for MAT in rope granular cloth; do
   echo "[final] train $MAT $(date)" >> $LOG
-  timeout 2400 python scripts/train_material.py "$MAT" \
-    "${EPOCHS:-10}" "${ITERS:-250}" "${BATCH:-64}" \
+  timeout 5400 python scripts/train_material.py "$MAT" \
+    "${EPOCHS:-40}" "${ITERS:-500}" "${BATCH:-128}" \
     >> "/tmp/final_train_${MAT}.log" 2>&1
   echo "[final] train $MAT rc=$? $(date)" >> $LOG
 done

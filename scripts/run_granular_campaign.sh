@@ -39,12 +39,18 @@ run_watched() {  # run "$@" with a stall watchdog; rc 0 ok, 9 = killed-stalled
   wait "$pid"
 }
 
-echo "[gran] batch-2 probe start $(date)" >> "$LOG"
-run_watched timeout 4800 python -m adaptigraph_tpu.sim.batch_env \
-  --config data_gen/granular --n-episode 2 --batch 2 \
-  --base 320 --out data/sim_data >> /tmp/gran_probe.log 2>&1
-rc=$?
-echo "[gran] batch-2 probe rc=$rc $(date)" >> "$LOG"
+if [ "${GRAN_SEQ_ONLY:-0}" = "1" ]; then
+  # skip the batch probe: batch-2 granular push programs hang the remote
+  # worker just like batch-4 (probed+killed once; recovery costs ~5 min)
+  rc=1
+else
+  echo "[gran] batch-2 probe start $(date)" >> "$LOG"
+  run_watched timeout 4800 python -m adaptigraph_tpu.sim.batch_env \
+    --config data_gen/granular --n-episode 2 --batch 2 \
+    --base 320 --out data/sim_data >> /tmp/gran_probe.log 2>&1
+  rc=$?
+  echo "[gran] batch-2 probe rc=$rc $(date)" >> "$LOG"
+fi
 
 if [ "$rc" -eq 0 ]; then
   echo "[gran] batch-2 works; campaign at batch 2 $(date)" >> "$LOG"
