@@ -134,7 +134,10 @@ def _pair_block(r, c, i_row0, j_col0, rest_dist, friction, filter_dist):
     return jnp.stack([ddx, ddy, ddz, cnt], axis=1)  # (TILE, 4)
 
 
-def _make_block_sparse_kernel(tile: int, rest_filter: bool = True):
+def _make_block_sparse_kernel(tile: int, rest_filter: bool = True,
+                              tile_j: int | None = None):
+    tile_j = tile_j or tile
+
     def kernel(scal_ref, cnt_ref, idx_ref, rows_ref, cols_ref, out_ref):
         """One row tile i: loop only its AABB-overlapping col blocks.
 
@@ -162,7 +165,7 @@ def _make_block_sparse_kernel(tile: int, rest_filter: bool = True):
 
         def body(k, acc):
             j = idx_ref[i, k]
-            c = cols_ref[:, pl.ds(pl.multiple_of(j * tile, tile), tile)]
+            c = cols_ref[:, pl.ds(pl.multiple_of(j * tile_j, tile_j), tile_j)]
             # ---- stage 1: detection ----
             dx = xi - c[0:1, :]
             dy = yi - c[1:2, :]
@@ -224,7 +227,10 @@ def _make_block_sparse_kernel(tile: int, rest_filter: bool = True):
     return kernel
 
 
-def _make_refine_kernel(tile: int, rest_filter: bool = True):
+def _make_refine_kernel(tile: int, rest_filter: bool = True,
+                        tile_j: int | None = None):
+    tile_j = tile_j or tile
+
     def kernel(scal_ref, cnt_ref, idx_ref, rows_ref, cols_ref, out_ref):
         """Pair-level refinement of one row tile's AABB-admitted col blocks.
 
@@ -253,7 +259,7 @@ def _make_refine_kernel(tile: int, rest_filter: bool = True):
 
         def body(k, flags):
             j = idx_ref[i, k]
-            c = cols_ref[:, pl.ds(pl.multiple_of(j * tile, tile), tile)]
+            c = cols_ref[:, pl.ds(pl.multiple_of(j * tile_j, tile_j), tile_j)]
             dx = xi - c[0:1, :]
             dy = yi - c[1:2, :]
             dz = zi - c[2:3, :]
@@ -283,30 +289,39 @@ def _make_refine_kernel(tile: int, rest_filter: bool = True):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile", "rest_filter"))
+@partial(jax.jit, static_argnames=("interpret", "tile", "rest_filter",
+                                   "tile_j"))
 def refine_overlap_blocks(pos, pos_prev, group, inv_mass, self_collide, active,
                           rest_pos, keep_dist, filter_dist, block_idx,
                           block_cnt, interpret: bool = False, tile: int = TILE,
-                          rest_filter: bool = True):
+                          rest_filter: bool = True,
+                          tile_j: int | None = None):
     """Shrink tile_overlap_blocks' AABB-admitted lists to blocks holding an
     eligible pair within `keep_dist` (computed once per frame; the solver
     iterations then sweep only these). Returns (block_idx, block_cnt) in
     the same layout; counts only ever shrink, so no new overflow."""
     rows, cols = pack_contact_tables(pos, pos_prev, group, inv_mass,
-                                     self_collide, active, rest_pos, tile=tile)
+                                     self_collide, active, rest_pos, tile=tile,
+                                     tile_j=tile_j)
     return refine_overlap_blocks_packed(pos.shape[0], rows, cols, keep_dist,
                                         filter_dist, block_idx, block_cnt,
                                         interpret=interpret, tile=tile,
-                                        rest_filter=rest_filter)
+                                        rest_filter=rest_filter, tile_j=tile_j)
 
 
-@partial(jax.jit, static_argnames=("n", "interpret", "tile", "rest_filter"))
+@partial(jax.jit, static_argnames=("n", "interpret", "tile", "rest_filter",
+                                   "tile_j"))
 def refine_overlap_blocks_packed(n: int, rows, cols, keep_dist, filter_dist,
                                  block_idx, block_cnt,
                                  interpret: bool = False, tile: int = TILE,
-                                 rest_filter: bool = True):
-    """refine_overlap_blocks over prepacked attribute tables."""
+                                 rest_filter: bool = True,
+                                 tile_j: int | None = None):
+    """refine_overlap_blocks over prepacked attribute tables. `tile_j` is
+    the col-block width (a multiple of `tile`; block_idx/block_cnt must
+    come from tile_overlap_blocks with the same tile_j)."""
+    tile_j = tile_j or tile
     n_pad = cols.shape[1]
+    assert n_pad % tile_j == 0, (n_pad, tile_j)
     scal = jnp.array([[keep_dist, 0.0, filter_dist, float(n)]],
                      dtype=jnp.float32)
     nb = n_pad // tile
@@ -317,7 +332,7 @@ def refine_overlap_blocks_packed(n: int, rows, cols, keep_dist, filter_dist,
     cnt2d = block_cnt.reshape(nb, 1).astype(jnp.int32)
 
     flags = pl.pallas_call(
-        _make_refine_kernel(tile, rest_filter),
+        _make_refine_kernel(tile, rest_filter, tile_j),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -341,30 +356,43 @@ def refine_overlap_blocks_packed(n: int, rows, cols, keep_dist, filter_dist,
 
 
 def tile_overlap_blocks(pos, active, inflate, tile: int = TILE,
-                        max_blocks: int | None = None):
-    """Per-row-tile lists of col tiles whose inflated AABBs intersect.
+                        max_blocks: int | None = None,
+                        tile_j: int | None = None):
+    """Per-row-tile lists of col blocks whose inflated AABBs intersect.
 
     The solver's contact sweep only needs particle pairs closer than the
     search radius; with spatially coherent particle ordering (scene builders
     emit chains/grids; see morton_order for arbitrary clouds) most tile
-    pairs are provably far apart and their O(TILE^2) pair math is skipped.
+    pairs are provably far apart and their O(TILE*TILE_J) pair math is
+    skipped. Row AABBs are at `tile` granularity; col AABBs at `tile_j`
+    (a multiple of `tile`, default = tile) — wider col blocks admit a
+    coarser superset of pairs but cut the sweep kernel's per-block loop
+    overhead proportionally.
 
-    Returns (block_idx (nb, MAXB) int32, block_cnt (nb,) int32,
+    `pos` must be padded to a multiple of max(tile, tile_j) with
+    active=False padding rows.
+
+    Returns (block_idx (nb_rows, MAXB) int32 indices into the nb_cols
+             col-block space, block_cnt (nb_rows,) int32,
              overflow int32 — number of overlapping blocks dropped by the
              MAXB cap; keep 0 by sizing max_blocks).
     """
+    tile_j = tile_j or tile
     n = pos.shape[0]
-    nb = n // tile
+    nb_i = n // tile
+    nb_j = n // tile_j
     big = jnp.float32(3e37)
-    p = jnp.where(active[:, None], pos, big)  # inactive never overlap
-    pt = p.reshape(nb, tile, 3)
-    lo = jnp.min(pt, axis=1)
-    hi = jnp.max(jnp.where(active[:, None], pos, -big).reshape(nb, tile, 3), axis=1)
+    p_lo = jnp.where(active[:, None], pos, big)  # inactive never overlap
+    p_hi = jnp.where(active[:, None], pos, -big)
+    lo_i = jnp.min(p_lo.reshape(nb_i, tile, 3), axis=1)
+    hi_i = jnp.max(p_hi.reshape(nb_i, tile, 3), axis=1)
+    lo_j = jnp.min(p_lo.reshape(nb_j, tile_j, 3), axis=1)
+    hi_j = jnp.max(p_hi.reshape(nb_j, tile_j, 3), axis=1)
     # intersect test with symmetric inflation
-    sep = (lo[:, None, :] > hi[None, :, :] + inflate) | \
-          (lo[None, :, :] > hi[:, None, :] + inflate)
-    overlap = ~jnp.any(sep, axis=-1)  # (nb, nb) bool
-    maxb = max_blocks or min(nb, 128)
+    sep = (lo_i[:, None, :] > hi_j[None, :, :] + inflate) | \
+          (lo_j[None, :, :] > hi_i[:, None, :] + inflate)
+    overlap = ~jnp.any(sep, axis=-1)  # (nb_i, nb_j) bool
+    maxb = max_blocks or min(nb_j, 128)
     # overlapping blocks first (scores 1), stable padding with zeros after
     score = overlap.astype(jnp.float32)
     _, idx = jax.lax.top_k(score, maxb)
@@ -374,7 +402,7 @@ def tile_overlap_blocks(pos, active, inflate, tile: int = TILE,
 
 
 def pack_contact_tables(pos, pos_prev, group, inv_mass, self_collide, active,
-                        rest_pos, tile: int = TILE):
+                        rest_pos, tile: int = TILE, tile_j: int | None = None):
     """Build the (rows (N_pad, 16), cols (16, N_pad)) attribute tables the
     block-sparse sweep reads. 13 of the 16 attribute rows are FRAME-constant
     (group/mass/phase/rest/active) and pos_prev is SUBSTEP-constant, so the
@@ -382,7 +410,8 @@ def pack_contact_tables(pos, pos_prev, group, inv_mass, self_collide, active,
     three position rows (update_contact_tables) — the full 7-DUS pack + the
     (16, N) transpose measured as the bulk of the per-iteration contact cost
     at the rope design point."""
-    n_pad = -(-pos.shape[0] // tile) * tile
+    t = max(tile, tile_j or tile)
+    n_pad = -(-pos.shape[0] // t) * t
     cols = _pack(pos, pos_prev, group, inv_mass, self_collide, active, rest_pos,
                  n_pad)
     return cols.T, cols
@@ -403,41 +432,53 @@ def update_contact_tables(rows, cols, pos, pos_prev=None):
     return rows, cols
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile", "rest_filter"))
+@partial(jax.jit, static_argnames=("interpret", "tile", "rest_filter",
+                                   "tile_j"))
 def block_sparse_contact_deltas(pos, pos_prev, group, inv_mass, self_collide,
                                 active, rest_pos, rest_dist, particle_friction,
                                 filter_dist, block_idx, block_cnt,
                                 interpret: bool = False, tile: int = TILE,
-                                rest_filter: bool = True):
+                                rest_filter: bool = True,
+                                tile_j: int | None = None):
     """All-pairs contact corrections restricted to AABB-overlapping tile
     blocks (the scalable O(N·K_blocks) path; same contract as
     dense_contact_deltas). block_idx/block_cnt come from
     tile_overlap_blocks(tile=same tile), computed once per frame."""
     rows, cols = pack_contact_tables(pos, pos_prev, group, inv_mass,
-                                     self_collide, active, rest_pos, tile=tile)
+                                     self_collide, active, rest_pos, tile=tile,
+                                     tile_j=tile_j)
     return block_sparse_contact_deltas_packed(
         pos.shape[0], rows, cols, rest_dist, particle_friction, filter_dist,
         block_idx, block_cnt, interpret=interpret, tile=tile,
-        rest_filter=rest_filter)
+        rest_filter=rest_filter, tile_j=tile_j)
 
 
-@partial(jax.jit, static_argnames=("n", "interpret", "tile", "rest_filter"))
+@partial(jax.jit, static_argnames=("n", "interpret", "tile", "rest_filter",
+                                   "tile_j"))
 def block_sparse_contact_deltas_packed(n: int, rows, cols, rest_dist,
                                        particle_friction, filter_dist,
                                        block_idx, block_cnt,
                                        interpret: bool = False,
                                        tile: int = TILE,
-                                       rest_filter: bool = True):
+                                       rest_filter: bool = True,
+                                       tile_j: int | None = None):
     """Block-sparse contact sweep over prepacked attribute tables (see
-    pack_contact_tables). Returns (delta (n, 3), count (n,))."""
+    pack_contact_tables). Returns (delta (n, 3), count (n,)).
+
+    tile_j: col-block width, a multiple of `tile` (default = tile). The
+    fori_loop's per-block overhead (dynamic VMEM slice + bounds + cond)
+    dominates over pair math at ~10% VPU utilization, so wider col blocks
+    trade near-free extra pair lanes for 2-4x fewer loop trips."""
+    tile_j = tile_j or tile
     n_pad = cols.shape[1]
+    assert n_pad % tile_j == 0, (n_pad, tile_j)
     scal = jnp.array([[rest_dist, particle_friction, filter_dist, float(n)]],
                      dtype=jnp.float32)
     nb = n_pad // tile
     cnt2d = block_cnt.reshape(nb, 1).astype(jnp.int32)
 
     out = pl.pallas_call(
-        _make_block_sparse_kernel(tile, rest_filter),
+        _make_block_sparse_kernel(tile, rest_filter, tile_j),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -49,12 +49,12 @@ _EPS = 1e-9
 _TILE = 128
 
 
-def _pad_tile(x):
-    return jnp.pad(x, ((0, (-x.shape[0]) % _TILE),) + ((0, 0),) * (x.ndim - 1))
+def _pad_tile(x, t: int = _TILE):
+    return jnp.pad(x, ((0, (-x.shape[0]) % t),) + ((0, 0),) * (x.ndim - 1))
 
 
-def _pad_tile_mask(m):
-    return jnp.pad(m, (0, (-m.shape[0]) % _TILE))
+def _pad_tile_mask(m, t: int = _TILE):
+    return jnp.pad(m, (0, (-m.shape[0]) % t))
 
 
 def _spring_deltas(pos, inv_mass, springs):
@@ -377,7 +377,7 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
              shapes: ShapeSet, s_pos, s_quat, s_vel, nbr_idx, eligible, share,
              dt, iterations: int, mode: str = "sparse", interpret: bool = False,
              cluster_rest=None, blocks=None, tables=None,
-             rest_filter: bool = True):
+             rest_filter: bool = True, tile_j: int | None = None):
     p = particles
     prm = spec.params
     movable = (p.inv_mass > 0) & p.active
@@ -424,7 +424,7 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
                 pos.shape[0], rows_i, cols_i, prm.solid_rest_distance,
                 prm.particle_friction, prm.collide_filter_dist,
                 block_idx, block_cnt, interpret=interpret,
-                rest_filter=rest_filter)
+                rest_filter=rest_filter, tile_j=tile_j)
         else:
             delta_c, cnt = _particle_contact_deltas(
                 pos, pos_prev, nbr_idx, eligible, share,
@@ -490,11 +490,12 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
                                    "dense_contacts", "contact_mode",
-                                   "rest_filter"))
+                                   "rest_filter", "contact_tile_j"))
 def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int,
               neighbor_k: int = 24, dense_contacts: bool | None = None,
               contact_mode: str | None = None,
-              rest_filter: bool | None = None) -> SceneState:
+              rest_filter: bool | None = None,
+              contact_tile_j: int | None = None) -> SceneState:
     """One outer sim frame (dt = params.dt), matching pyflex.step semantics:
     kinematic shapes move from their prev pose to their current pose across
     the substeps; particles respond.
@@ -533,6 +534,7 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             contact_mode = "dense" if n <= 2048 else "block"
     interpret = jax.default_backend() == "cpu"
     rest_filter = True if rest_filter is None else rest_filter
+    tj = contact_tile_j or _TILE
     nbr_idx = eligible = share = blocks = tables = None
     overflow = jnp.int32(0)
     if contact_mode == "block":
@@ -540,17 +542,17 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
         # ONCE here; substeps/iterations refresh only the position rows
         tables = pack_contact_tables(
             p0.pos, p0.pos, p0.group, p0.inv_mass, p0.self_collide, p0.active,
-            spec.rest_pos)
+            spec.rest_pos, tile_j=tj)
         # block structure ONCE per outer frame (like the NvFlex hash grid):
         # inflation radius*1.5 covers a frame of particle drift. The block
         # index table lives in SMEM inside the kernel; cap its width at
         # scale so (nb, maxb) stays within the ~64 KB budget that the
         # 16k/128-wide case measured as safe.
-        nb = (n + _TILE - 1) // _TILE
-        maxb = min(nb, 128 if nb <= 128 else 64)
+        nb_j = (n + tj - 1) // tj
+        maxb = min(nb_j, 128 if nb_j <= 128 else 64)
         block_idx, block_cnt, overflow = tile_overlap_blocks(
-            _pad_tile(p0.pos), _pad_tile_mask(p0.active), prm.radius * 1.5,
-            max_blocks=maxb)
+            _pad_tile(p0.pos, tj), _pad_tile_mask(p0.active, tj),
+            prm.radius * 1.5, max_blocks=maxb, tile_j=tj)
         # pair-level refinement ONCE per frame: keep only blocks holding an
         # eligible pair within a velocity-adaptive keep distance — the
         # NvFlexParams::particleCollisionMargin idea (NvFlex.h:146): the
@@ -577,7 +579,7 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
         block_idx, block_cnt = refine_overlap_blocks_packed(
             p0.pos.shape[0], *tables, keep_dist, prm.collide_filter_dist,
             block_idx, block_cnt, interpret=interpret,
-            rest_filter=rest_filter)
+            rest_filter=rest_filter, tile_j=tj)
         blocks = (block_idx, block_cnt)
     elif contact_mode == "sparse":
         # neighbor find ONCE per outer frame: dense masked top-k for tiny
@@ -599,7 +601,7 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             nbr_idx, eligible, share, dt_sub, iterations,
             mode=contact_mode, interpret=interpret,
             cluster_rest=cl_rest, blocks=blocks, tables=tables,
-            rest_filter=rest_filter)
+            rest_filter=rest_filter, tile_j=tj)
         return (particles, cl_rot, gl_rot, cl_rest), None
 
     (particles, cl_rot, gl_rot, cl_rest), _ = jax.lax.scan(
@@ -612,11 +614,13 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
 
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
-                                   "record", "contact_mode", "rest_filter"))
+                                   "record", "contact_mode", "rest_filter",
+                                   "contact_tile_j"))
 def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat_traj,
                   substeps: int, iterations: int, neighbor_k: int = 24,
                   record: bool = True, contact_mode: str | None = None,
-                  rest_filter: bool | None = None):
+                  rest_filter: bool | None = None,
+                  contact_tile_j: int | None = None):
     """Scan a whole tool trajectory on device (T outer frames).
 
     shape_pos_traj: (T, M, 3), shape_quat_traj: (T, M, 4) — per-frame target
@@ -629,7 +633,8 @@ def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat
         pos_t, quat_t = tgt
         st = st._replace(shapes=st.shapes.moved_to(pos_t, quat_t))
         st = xpbd_step(st, spec, substeps, iterations, neighbor_k,
-                       contact_mode=contact_mode, rest_filter=rest_filter)
+                       contact_mode=contact_mode, rest_filter=rest_filter,
+                       contact_tile_j=contact_tile_j)
         out = st.particles.pos if record else None
         return st, out
 

@@ -141,3 +141,38 @@ def test_rest_filter_off_matches_on_for_non_self_colliding():
     assert np.asarray(c_on).sum() > 0  # the pile genuinely has contacts
     np.testing.assert_array_equal(np.asarray(c_on), np.asarray(c_off))
     np.testing.assert_array_equal(np.asarray(d_on), np.asarray(d_off))
+
+
+def test_wide_col_blocks_match_narrow():
+    """tile_j=256 col blocks must produce the same contact physics as the
+    default 128-wide blocks (admission granularity only; pair math and
+    eligibility are identical, summation order differs within a block)."""
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        block_sparse_contact_deltas, refine_overlap_blocks,
+        tile_overlap_blocks)
+
+    rng = np.random.RandomState(11)
+    n = 512
+    pos = jnp.array(rng.rand(n, 3).astype(np.float32) * 0.7)
+    group = jnp.array(np.arange(n) // 16, jnp.int32)
+    inv_mass = jnp.ones(n)
+    sc = jnp.zeros(n, bool)
+    active = jnp.ones(n, bool)
+    rest_pos = jnp.array(rng.rand(n, 3).astype(np.float32))
+    rest_dist, friction, filter_dist = 0.06, 0.25, 0.0
+
+    outs = {}
+    for tj in (128, 256):
+        bidx, bcnt, ovf = tile_overlap_blocks(pos, active, rest_dist * 1.5,
+                                              tile_j=tj)
+        assert int(ovf) == 0
+        ridx, rcnt = refine_overlap_blocks(
+            pos, pos, group, inv_mass, sc, active, rest_pos, rest_dist * 1.5,
+            filter_dist, bidx, bcnt, interpret=True, tile_j=tj)
+        d, c = block_sparse_contact_deltas(
+            pos, pos, group, inv_mass, sc, active, rest_pos, rest_dist,
+            friction, filter_dist, ridx, rcnt, interpret=True, tile_j=tj)
+        outs[tj] = (np.asarray(d), np.asarray(c))
+    assert outs[128][1].sum() > 0
+    np.testing.assert_array_equal(outs[128][1], outs[256][1])
+    np.testing.assert_allclose(outs[128][0], outs[256][0], atol=1e-6)
