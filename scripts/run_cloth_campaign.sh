@@ -1,0 +1,52 @@
+#!/bin/bash
+# Cloth data campaign: batch-4 vmapped episodes (known-good on the remote
+# worker; batch-8 crashes it — CLAUDE.md). One watchdog per batch; a
+# healthy 4-episode cloth batch (settle + 5 push rounds at ~370 s/round)
+# is mostly host-idle, so the stall window must exceed the longest idle
+# stretch; timeout(1) bounds the worst case.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=/tmp/cloth_campaign.log
+STALL_MIN=${STALL_MIN:-28}
+
+ticks() {
+  awk '{print $14+$15}' "/proc/$1/stat" 2>/dev/null || echo 0
+}
+
+run_watched() {
+  "$@" &
+  local pid=$!
+  local last=0 still=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    local now
+    now=$(ticks "$pid")
+    if [ "$now" -le "$((last + 30))" ]; then
+      still=$((still + 1))
+    else
+      still=0
+    fi
+    last=$now
+    if [ "$still" -ge "$STALL_MIN" ]; then
+      echo "[watchdog] pid $pid stalled ${STALL_MIN}m; killing" >> "$LOG"
+      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      wait "$pid" 2>/dev/null
+      return 9
+    fi
+  done
+  wait "$pid"
+}
+
+N=${CLOTH_N:-8}
+BATCH=4
+base=${CLOTH_BASE:-420}
+for lo in $(seq "$base" "$BATCH" $((base + N - 1))); do
+  echo "[cloth] batch base $lo start $(date)" >> "$LOG"
+  run_watched timeout 4500 python -m adaptigraph_tpu.sim.batch_env \
+    --config data_gen/cloth --n-episode "$BATCH" --batch "$BATCH" \
+    --base "$lo" --out data/sim_data >> /tmp/cloth_batch.log 2>&1
+  echo "[cloth] batch base $lo rc=$? $(date)" >> "$LOG"
+  bash scripts/tpu_watch.sh >> "$LOG" 2>&1
+done
+echo "[cloth] DONE $(date)" >> "$LOG"
