@@ -29,8 +29,51 @@ from adaptigraph_tpu.sim.episode_io import store_data, save_property_params
 from adaptigraph_tpu.utils import load_config
 
 
+_RESUME_FILE = "resume_state.npz"
+
+
+def _save_resume_state(env: SimEnv, epi_dir: str, t_next: int):
+    """Checkpoint the full dynamic scene state after a stored push so a
+    killed process (remote-worker hang + watchdog) resumes the episode at
+    push granularity instead of regenerating it from settle. ~1 MB/scene."""
+    st = env.state
+    extra = {}
+    if st.cluster_rest is not None:
+        extra["cl_rest"] = np.asarray(st.cluster_rest)
+    np.savez(os.path.join(epi_dir, _RESUME_FILE), t_next=t_next,
+             pos=np.asarray(st.particles.pos), vel=np.asarray(st.particles.vel),
+             inv_mass=np.asarray(st.particles.inv_mass),
+             s_pos=np.asarray(st.shapes.pos), s_quat=np.asarray(st.shapes.quat),
+             s_ppos=np.asarray(st.shapes.prev_pos),
+             s_pquat=np.asarray(st.shapes.prev_quat),
+             cl_rot=np.asarray(st.cluster_rot), gl_rot=np.asarray(st.global_rot),
+             sampled_idx=np.asarray(env.sampled_idx), **extra)
+
+
+def _load_resume_state(env: SimEnv, epi_dir: str) -> int:
+    """Restore a `_save_resume_state` checkpoint into a freshly-reset env
+    (same seed => same scene build). Returns the next push index."""
+    z = np.load(os.path.join(epi_dir, _RESUME_FILE))
+    st = env.state
+    p = st.particles._replace(pos=np.asarray(z["pos"]),
+                              vel=np.asarray(z["vel"]),
+                              inv_mass=np.asarray(z["inv_mass"]))
+    sh = st.shapes._replace(pos=np.asarray(z["s_pos"]),
+                            quat=np.asarray(z["s_quat"]),
+                            prev_pos=np.asarray(z["s_ppos"]),
+                            prev_quat=np.asarray(z["s_pquat"]))
+    env.state = st._replace(particles=p, shapes=sh,
+                            cluster_rot=np.asarray(z["cl_rot"]),
+                            global_rot=np.asarray(z["gl_rot"]),
+                            cluster_rest=(np.asarray(z["cl_rest"])
+                                          if "cl_rest" in z else None))
+    env.sampled_idx = np.asarray(z["sampled_idx"])
+    env._eef_prev = None
+    return int(z["t_next"])
+
+
 def gen_episode(config, idx_episode: int, save_data: bool, data_dir: str,
-                env: SimEnv | None = None):
+                env: SimEnv | None = None, resume: bool = False):
     t0 = time.time()
     d = config["dataset"]
     obj = d["obj"]
@@ -42,13 +85,26 @@ def gen_episode(config, idx_episode: int, save_data: bool, data_dir: str,
         os.makedirs(epi_dir, exist_ok=True)
 
     env = env or SimEnv(config)
-    data = env.reset(seed=idx_episode, save_data=save_data)
-
-    props = env.get_property_params()
+    t_start = 0
+    resumable = (resume and save_data
+                 and os.path.exists(os.path.join(epi_dir, _RESUME_FILE))
+                 and os.path.exists(os.path.join(epi_dir, "00.h5")))
+    if resumable:
+        # rebuild the scene (same seed), skip the settle sim, restore the
+        # checkpointed post-push state
+        env.reset(seed=idx_episode, save_data=False, settle=False)
+        env.finish_reset(save_data=False)
+        t_start = _load_resume_state(env, epi_dir)
+        props = env.get_property_params()
+        print(f"Episode {idx_episode} RESUME at push {t_start}", flush=True)
+        data = None
+    else:
+        data = env.reset(seed=idx_episode, save_data=save_data)
+        props = env.get_property_params()
     print(f"Episode {idx_episode} physics params: {props}")
 
     actions = np.zeros((n_timestep, 4))
-    if save_data:
+    if save_data and not resumable:
         store_data(os.path.join(epi_dir, f"{0:02}.h5"), data, actions[0])
         save_property_params(epi_dir, props)
         if idx_episode == int(d.get("base", 0)):
@@ -61,7 +117,7 @@ def gen_episode(config, idx_episode: int, save_data: bool, data_dir: str,
     last_img = img.copy()
     stuck = False
     boundary_points = boundary = None
-    for t in range(n_timestep):
+    for t in range(t_start, n_timestep):
         data = ([], [], [])
         for k in range(10):
             if obj == "cloth":
@@ -95,9 +151,10 @@ def gen_episode(config, idx_episode: int, save_data: bool, data_dir: str,
         last_img = img.copy()
         if save_data:
             store_data(os.path.join(epi_dir, f"{t + 1:02}.h5"), data, actions[t])
+            _save_resume_state(env, epi_dir, t + 1)
             print(f"episode {idx_episode} timestep {t} done "
-                  f"({len(data[1])} captured frames)")
-    print(f"Episode {idx_episode} time: {time.time() - t0:.1f}s")
+                  f"({len(data[1])} captured frames)", flush=True)
+    print(f"Episode {idx_episode} time: {time.time() - t0:.1f}s", flush=True)
     return env
 
 

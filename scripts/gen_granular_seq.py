@@ -18,7 +18,7 @@ for seed in range(BASE, BASE + N):
     cfg["dataset"]["screenHeight"] = 360
     cfg["dataset"]["robot_speed_inv"] = 150
     try:
-        gen_episode(cfg, seed, True, "/root/repo/data/sim_data")
+        gen_episode(cfg, seed, True, "/root/repo/data/sim_data", resume=True)
         print(f"EPISODE {seed} done in {time.time()-t0:.0f}s", flush=True)
     except Exception:
         import traceback

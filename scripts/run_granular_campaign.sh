@@ -66,13 +66,30 @@ else
   # the stall window must exceed a full episode's idle stretch — 12 min
   # killed a live episode mid-push; the real hang signature is ~0 ticks
   # for 25+ min (CLAUDE.md), and `timeout` still bounds the worst case.
-  STALL_MIN=${STALL_MIN_SEQ:-28}
+  # Episodes checkpoint full scene state after every stored push
+  # (data_gen resume=True), so a watchdog kill only loses the in-flight
+  # push — retry the SAME episode and it resumes where it stopped. A
+  # healthy process ticks steadily (each 40-frame chunk dispatch returns
+  # to host); 15 min of ~0 ticks is definitively a hung device call.
+  STALL_MIN=${STALL_MIN_SEQ:-15}
   base=${GRAN_BASE:-330}
+  want=$(( $(python -c "
+from adaptigraph_tpu.utils import load_config
+print(int(load_config('data_gen/granular')['dataset']['n_timestep']))") + 1 ))
   for i in $(seq 0 $(( ${GRAN_N:-14} - 1 ))); do
-    run_watched timeout 2700 python scripts/gen_granular_seq.py $((base + i)) 1 \
-      >> /tmp/gran_seq.log 2>&1
-    echo "[gran] seq episode $((base + i)) rc=$? $(date)" >> "$LOG"
-    bash scripts/tpu_watch.sh >> "$LOG" 2>&1
+    epi=$((base + i))
+    dir=$(printf 'data/sim_data/granular/%06d' "$epi")
+    for attempt in 1 2 3; do
+      have=$(ls "$dir" 2>/dev/null | grep -c '\.h5$')
+      [ "$have" -ge "$want" ] && break
+      run_watched timeout 2700 python scripts/gen_granular_seq.py "$epi" 1 \
+        >> /tmp/gran_seq.log 2>&1
+      rc=$?
+      echo "[gran] seq episode $epi attempt $attempt rc=$rc $(date)" >> "$LOG"
+      # the generator exits 0 even after internal failures; completeness is
+      # the h5 count checked at the top of the next attempt
+      [ "$rc" -ne 0 ] && bash scripts/tpu_watch.sh >> "$LOG" 2>&1
+    done
   done
 fi
 echo "[gran] DONE $(date)" >> "$LOG"

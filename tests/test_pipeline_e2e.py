@@ -100,6 +100,50 @@ class TestEpisodes:
         assert np.isfinite(d["positions"]).all()
 
 
+class TestEpisodeResume:
+    def test_resume_continues_at_push_granularity(self, tmp_path):
+        """Push-level resume (data_gen resume=True): a partially generated
+        episode continues from its checkpoint instead of re-settling, and
+        already-stored pushes are untouched. This is the recovery path the
+        granular campaign uses after a remote-worker hang + watchdog kill."""
+        import adaptigraph_tpu.sim.env as env_mod
+        from adaptigraph_tpu.scenes.build import Caps
+        from adaptigraph_tpu.sim.data_gen import gen_episode
+        from tests.test_sim import _tiny_build
+
+        orig_build = env_mod.build_scene
+        orig_caps = dict(env_mod.MATERIAL_CAPS)
+        env_mod.build_scene = _tiny_build
+        env_mod.MATERIAL_CAPS["rope"] = Caps(n=64, s=4, c=2, k=4, m=8)
+        try:
+            data_dir = str(tmp_path / "sim_data")
+            base = {"obj": "rope", "pusher_len": 1.0, "robot_speed_inv": 20,
+                    "screenWidth": 48, "screenHeight": 48, "max_chunks": 4,
+                    "settle_steps": 20, "action_space": 2, "camera_view": 1,
+                    "fps": False, "base": 0, "color_threshold": 1e-5,
+                    "contact_interval": 40, "non_contact_interval": 40}
+            cfg1 = Config({"dataset": dict(base, n_timestep=1)})
+            env = gen_episode(cfg1, 0, True, data_dir, resume=True)
+            epi = os.path.join(data_dir, "rope", "000000")
+            assert os.path.exists(os.path.join(epi, "01.h5"))
+            assert os.path.exists(os.path.join(epi, "resume_state.npz"))
+            push1 = open(os.path.join(epi, "01.h5"), "rb").read()
+
+            # continue the same episode to 2 pushes from the checkpoint
+            cfg2 = Config({"dataset": dict(base, n_timestep=2)})
+            gen_episode(cfg2, 0, True, data_dir, env=env, resume=True)
+            assert os.path.exists(os.path.join(epi, "02.h5"))
+            assert open(os.path.join(epi, "01.h5"), "rb").read() == push1
+            import numpy as _np
+
+            z = _np.load(os.path.join(epi, "resume_state.npz"))
+            assert int(z["t_next"]) == 2
+            assert _np.isfinite(z["pos"]).all()
+        finally:
+            env_mod.build_scene = orig_build
+            env_mod.MATERIAL_CAPS.update(orig_caps)
+
+
 class TestPreprocessTrainRollout:
     def test_preprocess(self, mini_world):
         from adaptigraph_tpu.dynamics.preprocess import preprocess
