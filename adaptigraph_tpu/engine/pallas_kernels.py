@@ -134,19 +134,171 @@ def _pair_block(r, c, i_row0, j_col0, rest_dist, friction, filter_dist):
     return jnp.stack([ddx, ddy, ddz, cnt], axis=1)  # (TILE, 4)
 
 
+def _shape_stage(shp_ref, planes_ref, c_i, n_shapes: int, n_planes: int,
+                 cd, margin, dyn_friction, dt):
+    """Fused kinematic-shape contact stage for one row tile, LANE-MAJOR.
+
+    Identical math to collisions.shape_contact_deltas (parity-tested), but
+    computed on (1, tile) lane vectors inside the sweep kernel — the XLA
+    pass pays the (N, 3) lane-3->128 padding tax on ~15 ops every solver
+    iteration; here each op is one full vreg row and the whole stage is a
+    few hundred VPU ops per row tile.
+
+    shp_ref: SMEM (M, 16) f32 [kind, valid, size012, pos012, quat0123,
+    vel012, 0]; planes_ref: SMEM (M*P, 4) local halfspaces (None if P==0);
+    c_i: (16, tile) this row tile's lane-major attribute columns.
+    Returns (ax, ay, az, cnt) each (1, tile).
+    """
+    from adaptigraph_tpu.engine.state import (
+        SHAPE_BOX as _B, SHAPE_CAPSULE as _C, SHAPE_CONVEX as _X)
+
+    px, py, pz = c_i[0:1, :], c_i[1:2, :], c_i[2:3, :]
+    ux = px - c_i[3:4, :]
+    uy = py - c_i[4:5, :]
+    uz = pz - c_i[5:6, :]
+    zero = jnp.zeros_like(px)
+    ax = ay = az = cnt = zero
+    for m in range(n_shapes):
+        kind = shp_ref[m, 0]
+        valid = shp_ref[m, 1]
+        hx, hy, hz = shp_ref[m, 2], shp_ref[m, 3], shp_ref[m, 4]
+        sx, sy, sz = shp_ref[m, 5], shp_ref[m, 6], shp_ref[m, 7]
+        qx_, qy_, qz_, qw_ = (shp_ref[m, 8], shp_ref[m, 9], shp_ref[m, 10],
+                              shp_ref[m, 11])
+        vx, vy, vz = shp_ref[m, 12], shp_ref[m, 13], shp_ref[m, 14]
+        # rotation matrix R from the quaternion; world->local uses R^T
+        r00 = 1 - 2 * (qy_ * qy_ + qz_ * qz_)
+        r01 = 2 * (qx_ * qy_ - qz_ * qw_)
+        r02 = 2 * (qx_ * qz_ + qy_ * qw_)
+        r10 = 2 * (qx_ * qy_ + qz_ * qw_)
+        r11 = 1 - 2 * (qx_ * qx_ + qz_ * qz_)
+        r12 = 2 * (qy_ * qz_ - qx_ * qw_)
+        r20 = 2 * (qx_ * qz_ - qy_ * qw_)
+        r21 = 2 * (qy_ * qz_ + qx_ * qw_)
+        r22 = 1 - 2 * (qx_ * qx_ + qy_ * qy_)
+        wx, wy, wz = px - sx, py - sy, pz - sz
+        qxp = r00 * wx + r10 * wy + r20 * wz
+        qyp = r01 * wx + r11 * wy + r21 * wz
+        qzp = r02 * wx + r12 * wy + r22 * wz
+
+        # ---- box ----
+        dxb = jnp.abs(qxp) - hx
+        dyb = jnp.abs(qyp) - hy
+        dzb = jnp.abs(qzp) - hz
+        ox = jnp.maximum(dxb, 0.0)
+        oy = jnp.maximum(dyb, 0.0)
+        oz = jnp.maximum(dzb, 0.0)
+        d2o = ox * ox + oy * oy + oz * oz
+        inv_out = jax.lax.rsqrt(d2o + _EPS * _EPS)
+        dist_out = d2o * inv_out
+        max_d = jnp.maximum(dxb, jnp.maximum(dyb, dzb))
+        sd_box = dist_out + jnp.minimum(max_d, 0.0)
+        nbx_o = ox * jnp.sign(qxp) * inv_out
+        nby_o = oy * jnp.sign(qyp) * inv_out
+        nbz_o = oz * jnp.sign(qzp) * inv_out
+        # inside: face of least penetration, first-axis ties like argmax
+        is_x = (dxb >= dyb) & (dxb >= dzb)
+        is_y = (~is_x) & (dyb >= dzb)
+        is_z = ~(is_x | is_y)
+        nbx_i = jnp.where(is_x, jnp.sign(qxp), 0.0)
+        nby_i = jnp.where(is_y, jnp.sign(qyp), 0.0)
+        nbz_i = jnp.where(is_z, jnp.sign(qzp), 0.0)
+        out_side = max_d > 0.0
+        nbx = jnp.where(out_side, nbx_o, nbx_i)
+        nby = jnp.where(out_side, nby_o, nby_i)
+        nbz = jnp.where(out_side, nbz_o, nbz_i)
+
+        # ---- capsule (axis +x; size = radius, half_len, _) ----
+        a_c = jnp.clip(qxp, -hy, hy)  # hy slot = half_len
+        cdx = qxp - a_c
+        d2c = cdx * cdx + qyp * qyp + qzp * qzp
+        inv_dc = jax.lax.rsqrt(d2c + _EPS * _EPS)
+        sd_cap = d2c * inv_dc - hx  # hx slot = radius
+        ncx = cdx * inv_dc
+        ncy = qyp * inv_dc
+        ncz = qzp * inv_dc
+
+        # ---- plane (local y-up) ----
+        is_box = kind == float(_B)
+        is_cap = kind == float(_C)
+        sd = jnp.where(is_box, sd_box, jnp.where(is_cap, sd_cap, qyp))
+        nlx = jnp.where(is_box, nbx, jnp.where(is_cap, ncx, 0.0))
+        nly = jnp.where(is_box, nby, jnp.where(is_cap, ncy, 1.0))
+        nlz = jnp.where(is_box, nbz, jnp.where(is_cap, ncz, 0.0))
+
+        if n_planes > 0:
+            # ---- convex polytope: running max over halfspaces ----
+            sd_cx = jnp.full_like(px, -3e37)
+            nxx = nxy = nxz = zero
+            any_valid = False
+            for p_i in range(n_planes):
+                n0 = planes_ref[m * n_planes + p_i, 0]
+                n1 = planes_ref[m * n_planes + p_i, 1]
+                n2 = planes_ref[m * n_planes + p_i, 2]
+                pd = planes_ref[m * n_planes + p_i, 3]
+                pv = n0 * n0 + n1 * n1 + n2 * n2 > 0.25
+                sp = qxp * n0 + qyp * n1 + qzp * n2 - pd
+                sp = jnp.where(pv, sp, -3e37)
+                take = sp > sd_cx  # strict: first max wins ties, like argmax
+                sd_cx = jnp.where(take, sp, sd_cx)
+                nxx = jnp.where(take, n0, nxx)
+                nxy = jnp.where(take, n1, nxy)
+                nxz = jnp.where(take, n2, nxz)
+                any_valid = jnp.logical_or(any_valid, pv)
+            sd_cx = jnp.where(any_valid, sd_cx, 3e37)
+            is_cx = kind == float(_X)
+            sd = jnp.where(is_cx, sd_cx, sd)
+            nlx = jnp.where(is_cx, nxx, nlx)
+            nly = jnp.where(is_cx, nxy, nly)
+            nlz = jnp.where(is_cx, nxz, nlz)
+
+        # local->world normal (R @ n)
+        nwx = r00 * nlx + r01 * nly + r02 * nlz
+        nwy = r10 * nlx + r11 * nly + r12 * nlz
+        nwz = r20 * nlx + r21 * nly + r22 * nlz
+
+        pen = cd - sd
+        cf = jnp.where((pen > 0.0) & (valid > 0.5), 1.0, 0.0)
+        # Coulomb friction on the tangential relative displacement
+        rx = ux - vx * dt
+        ry = uy - vy * dt
+        rz = uz - vz * dt
+        rel_n = rx * nwx + ry * nwy + rz * nwz
+        tx = rx - nwx * rel_n
+        ty = ry - nwy * rel_n
+        tz = rz - nwz * rel_n
+        t2 = tx * tx + ty * ty + tz * tz
+        inv_t = jax.lax.rsqrt(t2 + _EPS * _EPS)
+        t_norm = t2 * inv_t
+        max_slide = dyn_friction * jnp.abs(pen)
+        scale = jnp.minimum(1.0, max_slide / (t_norm + _EPS)) * cf
+        ax = ax + nwx * (pen * cf) - tx * scale
+        ay = ay + nwy * (pen * cf) - ty * scale
+        az = az + nwz * (pen * cf) - tz * scale
+        cnt = cnt + cf
+    return ax, ay, az, cnt
+
+
 def _make_block_sparse_kernel(tile: int, rest_filter: bool = True,
-                              tile_j: int | None = None):
+                              tile_j: int | None = None, n_shapes: int = 0,
+                              n_planes: int = 0):
     tile_j = tile_j or tile
 
-    def kernel(scal_ref, cnt_ref, idx_ref, rows_ref, cols_ref, out_ref):
+    def kernel(scal_ref, cnt_ref, idx_ref, *rest):
         """One row tile i: loop only its AABB-overlapping col blocks.
 
-        scal_ref: (1, 4) SMEM [rest_dist, friction, filter_dist, n]
+        scal_ref: (1, 8) SMEM [rest_dist, friction, filter_dist, n, cd,
+                  margin, dyn_friction, dt]
         cnt_ref:  (nb, 1) SMEM whole array — overlapping col-block counts
         idx_ref:  (nb, MAXB) SMEM whole array int32 — their block indices
         rows_ref: (tile, 16) row-particle attributes
         cols_ref: (16, N_pad) the FULL lane-major attribute array (VMEM)
         out_ref:  (tile, 8) [delta_xyz, count, 0...]
+
+        With n_shapes > 0 the kinematic-shape contact stage is FUSED in:
+        extra SMEM inputs shp_ref (M, 16) [+ planes_ref (M*P, 4)] and a
+        second lane-major output out2_ref (8, tile) carrying this row
+        tile's [shape_delta_xyz, shape_count] rows (see _shape_stage).
 
         Two-stage pair math: a ~20-op detection stage (distance + pair
         eligibility) runs on every block; the ~60-op projection/friction
@@ -156,6 +308,14 @@ def _make_block_sparse_kernel(tile: int, rest_filter: bool = True,
         self-collide filter, flat cloth) almost no admitted block has a
         true contact, so the cold path dominates.
         """
+        if n_shapes > 0:
+            if n_planes > 0:
+                shp_ref, planes_ref, rows_ref, cols_ref, out_ref, out2_ref = rest
+            else:
+                shp_ref, rows_ref, cols_ref, out_ref, out2_ref = rest
+                planes_ref = None
+        else:
+            rows_ref, cols_ref, out_ref = rest
         i = pl.program_id(0)
         rest_dist = scal_ref[0, 0]
         friction = scal_ref[0, 1]
@@ -223,6 +383,19 @@ def _make_block_sparse_kernel(tile: int, rest_filter: bool = True,
                                 body, jnp.zeros((tile, 4), jnp.float32))
         out_ref[:] = jnp.concatenate([acc, jnp.zeros((tile, 4), jnp.float32)],
                                      axis=1)
+
+        if n_shapes > 0:
+            cd = scal_ref[0, 4]
+            margin = scal_ref[0, 5]
+            dyn_friction = scal_ref[0, 6]
+            dt = scal_ref[0, 7]
+            # this row tile's lane-major attribute columns
+            c_i = cols_ref[:, pl.ds(pl.multiple_of(i * tile, tile), tile)]
+            ax, ay, az, scnt = _shape_stage(shp_ref, planes_ref, c_i,
+                                            n_shapes, n_planes, cd, margin,
+                                            dyn_friction, dt)
+            out2_ref[:] = jnp.concatenate(
+                [ax, ay, az, scnt, jnp.zeros((4, tile), jnp.float32)], axis=0)
 
     return kernel
 
@@ -461,37 +634,77 @@ def block_sparse_contact_deltas_packed(n: int, rows, cols, rest_dist,
                                        interpret: bool = False,
                                        tile: int = TILE,
                                        rest_filter: bool = True,
-                                       tile_j: int | None = None):
+                                       tile_j: int | None = None,
+                                       shp=None, planes2d=None,
+                                       shape_params=None):
     """Block-sparse contact sweep over prepacked attribute tables (see
     pack_contact_tables). Returns (delta (n, 3), count (n,)).
 
     tile_j: col-block width, a multiple of `tile` (default = tile). The
     fori_loop's per-block overhead (dynamic VMEM slice + bounds + cond)
     dominates over pair math at ~10% VPU utilization, so wider col blocks
-    trade near-free extra pair lanes for 2-4x fewer loop trips."""
+    trade near-free extra pair lanes for 2-4x fewer loop trips.
+
+    Fused kinematic-shape contacts: pass shp (M_active, 16) f32 rows
+    [kind, valid, size012, pos012, quat0123(xyzw), vel012, 0], optional
+    planes2d (M_active*P, 4) local halfspaces, and shape_params =
+    (collision_distance, margin, dynamic_friction, dt). The returned
+    delta/count then INCLUDE the shape-contact corrections — the separate
+    lane-3-padded XLA shape pass (collisions.shape_contact_deltas) is
+    replaced by a lane-major in-kernel stage (see _shape_stage)."""
     tile_j = tile_j or tile
     n_pad = cols.shape[1]
     assert n_pad % tile_j == 0, (n_pad, tile_j)
-    scal = jnp.array([[rest_dist, particle_friction, filter_dist, float(n)]],
-                     dtype=jnp.float32)
+    fuse = shp is not None
+    n_shapes = shp.shape[0] if fuse else 0
+    n_planes = (planes2d.shape[0] // max(n_shapes, 1)
+                if (fuse and planes2d is not None) else 0)
+    cd, margin, dyn_friction, dt = (shape_params if fuse
+                                    else (0.0, 0.0, 0.0, 0.0))
+    scal = jnp.stack([jnp.asarray(v, jnp.float32) for v in
+                      (rest_dist, particle_friction, filter_dist, float(n),
+                       cd, margin, dyn_friction, dt)]).reshape(1, 8)
     nb = n_pad // tile
     cnt2d = block_cnt.reshape(nb, 1).astype(jnp.int32)
 
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [pl.BlockSpec((1, 8), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM), smem, smem]
+    args = [scal, cnt2d, block_idx]
+    if fuse:
+        in_specs.append(smem)
+        args.append(shp.astype(jnp.float32))
+        if n_planes > 0:
+            in_specs.append(smem)
+            args.append(planes2d.astype(jnp.float32))
+    in_specs += [
+        pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [rows, cols]
+
+    out_specs = pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_pad, 8), jnp.float32)
+    if fuse:
+        out_specs = [out_specs, pl.BlockSpec((8, tile), lambda i: (0, i),
+                                             memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((8, n_pad), jnp.float32)]
+
     out = pl.pallas_call(
-        _make_block_sparse_kernel(tile, rest_filter, tile_j),
+        _make_block_sparse_kernel(tile, rest_filter, tile_j, n_shapes,
+                                  n_planes),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(scal, cnt2d, block_idx, rows, cols)
+    )(*args)
+    if fuse:
+        out, out2 = out
+        delta = out[:n, :3] + out2[0:3, :n].T
+        return delta, out[:n, 3] + out2[3, :n]
     return out[:n, :3], out[:n, 3]
 
 

@@ -377,7 +377,8 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
              shapes: ShapeSet, s_pos, s_quat, s_vel, nbr_idx, eligible, share,
              dt, iterations: int, mode: str = "sparse", interpret: bool = False,
              cluster_rest=None, blocks=None, tables=None,
-             rest_filter: bool = True, tile_j: int | None = None):
+             rest_filter: bool = True, tile_j: int | None = None,
+             n_shapes_active: int | None = None):
     p = particles
     prm = spec.params
     movable = (p.inv_mass > 0) & p.active
@@ -400,11 +401,28 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
     pos_prev = p.pos
     pos = pos_prev + vel * dt
     pj_prev = pos_prev[nbr_idx] if mode == "sparse" else None
+    fuse_shapes = mode == "block" and bool(n_shapes_active)
+    shp = planes2d = shape_params = None
     if mode == "block":
         # substep-start position rows (pos_prev / friction reference) are
         # fixed across the solver iterations; refresh them once here
         rows_t, cols_t = update_contact_tables(*tables, pos_prev,
                                                pos_prev=pos_prev)
+        if fuse_shapes:
+            # pack this substep's shape table for the in-kernel stage
+            # (_shape_stage): only the statically-known active slots
+            a = n_shapes_active
+            f32 = pos.dtype
+            shp = jnp.concatenate([
+                shapes.kind[:a, None].astype(f32),
+                shapes.valid[:a, None].astype(f32),
+                shapes.size[:a], s_pos[:a], s_quat[:a], s_vel[:a],
+                jnp.zeros((a, 1), f32)], axis=1)
+            if shapes.planes.shape[-2] > 0:
+                planes2d = shapes.planes[:a].reshape(-1, 4)
+            shape_params = (prm.collision_distance,
+                            prm.shape_collision_margin,
+                            prm.dynamic_friction, dt)
 
     def iter_body(_, carry):
         pos, cl_rot, gl_rot = carry
@@ -424,17 +442,20 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
                 pos.shape[0], rows_i, cols_i, prm.solid_rest_distance,
                 prm.particle_friction, prm.collide_filter_dist,
                 block_idx, block_cnt, interpret=interpret,
-                rest_filter=rest_filter, tile_j=tile_j)
+                rest_filter=rest_filter, tile_j=tile_j,
+                shp=shp, planes2d=planes2d, shape_params=shape_params)
         else:
             delta_c, cnt = _particle_contact_deltas(
                 pos, pos_prev, nbr_idx, eligible, share,
                 prm.solid_rest_distance, prm.particle_friction, pj_prev=pj_prev)
         delta = delta_c
-        delta_k, cnt_k = shape_contact_deltas(
-            pos, pos_prev, shapes, s_pos, s_quat, s_vel,
-            prm.collision_distance, prm.shape_collision_margin, prm.dynamic_friction, dt)
-        delta = delta + delta_k
-        cnt = cnt + cnt_k
+        if not fuse_shapes:
+            delta_k, cnt_k = shape_contact_deltas(
+                pos, pos_prev, shapes, s_pos, s_quat, s_vel,
+                prm.collision_distance, prm.shape_collision_margin,
+                prm.dynamic_friction, dt)
+            delta = delta + delta_k
+            cnt = cnt + cnt_k
         if has_offset_springs:
             delta_o, cnt_o = _spring_deltas_offset(pos, p.inv_mass,
                                                    spec.offset_springs)
@@ -490,12 +511,14 @@ def _substep(particles: ParticleState, cluster_rot, global_rot, spec: SceneSpec,
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
                                    "dense_contacts", "contact_mode",
-                                   "rest_filter", "contact_tile_j"))
+                                   "rest_filter", "contact_tile_j",
+                                   "n_shapes_active"))
 def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int,
               neighbor_k: int = 24, dense_contacts: bool | None = None,
               contact_mode: str | None = None,
               rest_filter: bool | None = None,
-              contact_tile_j: int | None = None) -> SceneState:
+              contact_tile_j: int | None = None,
+              n_shapes_active: int | None = None) -> SceneState:
     """One outer sim frame (dt = params.dt), matching pyflex.step semantics:
     kinematic shapes move from their prev pose to their current pose across
     the substeps; particles respond.
@@ -601,7 +624,8 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             nbr_idx, eligible, share, dt_sub, iterations,
             mode=contact_mode, interpret=interpret,
             cluster_rest=cl_rest, blocks=blocks, tables=tables,
-            rest_filter=rest_filter, tile_j=tj)
+            rest_filter=rest_filter, tile_j=tj,
+            n_shapes_active=n_shapes_active)
         return (particles, cl_rot, gl_rot, cl_rest), None
 
     (particles, cl_rot, gl_rot, cl_rest), _ = jax.lax.scan(
@@ -615,12 +639,13 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
 
 @partial(jax.jit, static_argnames=("substeps", "iterations", "neighbor_k",
                                    "record", "contact_mode", "rest_filter",
-                                   "contact_tile_j"))
+                                   "contact_tile_j", "n_shapes_active"))
 def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat_traj,
                   substeps: int, iterations: int, neighbor_k: int = 24,
                   record: bool = True, contact_mode: str | None = None,
                   rest_filter: bool | None = None,
-                  contact_tile_j: int | None = None):
+                  contact_tile_j: int | None = None,
+                  n_shapes_active: int | None = None):
     """Scan a whole tool trajectory on device (T outer frames).
 
     shape_pos_traj: (T, M, 3), shape_quat_traj: (T, M, 4) — per-frame target
@@ -634,7 +659,8 @@ def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat
         st = st._replace(shapes=st.shapes.moved_to(pos_t, quat_t))
         st = xpbd_step(st, spec, substeps, iterations, neighbor_k,
                        contact_mode=contact_mode, rest_filter=rest_filter,
-                       contact_tile_j=contact_tile_j)
+                       contact_tile_j=contact_tile_j,
+                       n_shapes_active=n_shapes_active)
         out = st.particles.pos if record else None
         return st, out
 

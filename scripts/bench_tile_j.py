@@ -48,22 +48,26 @@ for material in ("rope", "granular", "cloth"):
     quat_traj = jnp.tile(st.shapes.quat[None], (T, 1, 1))
     rest_filter = bool(np.any(np.asarray(st.particles.self_collide)[: b.n_active]))
 
+    n_active_shapes = int(np.asarray(st.shapes.valid).sum())
     for tj in (128, 256, 512):
-        def run():
-            final, _ = rollout_steps(st, spec, pos_traj, quat_traj,
-                                     substeps=b.substeps,
-                                     iterations=b.iterations, record=False,
-                                     contact_mode="block",
-                                     rest_filter=rest_filter,
-                                     contact_tile_j=tj)
-            return float(jnp.sum(final.particles.pos))
+        for fuse in (None, n_active_shapes):
+            def run():
+                final, _ = rollout_steps(st, spec, pos_traj, quat_traj,
+                                         substeps=b.substeps,
+                                         iterations=b.iterations,
+                                         record=False,
+                                         contact_mode="block",
+                                         rest_filter=rest_filter,
+                                         contact_tile_j=tj,
+                                         n_shapes_active=fuse)
+                return float(jnp.sum(final.particles.pos))
 
-        run()
-        best = 0.0
-        for _ in range(3):
-            t0 = time.time()
             run()
-            best = max(best, T / (time.time() - t0))
-        print(json.dumps({"scene": material, "tile_j": tj,
-                          "n": int(b.n_active),
-                          "steps_per_s": round(best, 1)}), flush=True)
+            best = 0.0
+            for _ in range(3):
+                t0 = time.time()
+                run()
+                best = max(best, T / (time.time() - t0))
+            print(json.dumps({"scene": material, "tile_j": tj,
+                              "fused_shapes": fuse, "n": int(b.n_active),
+                              "steps_per_s": round(best, 1)}), flush=True)

@@ -176,3 +176,66 @@ def test_wide_col_blocks_match_narrow():
     assert outs[128][1].sum() > 0
     np.testing.assert_array_equal(outs[128][1], outs[256][1])
     np.testing.assert_allclose(outs[128][0], outs[256][0], atol=1e-6)
+
+
+def test_fused_shape_stage_matches_xla_pass():
+    """The in-kernel lane-major shape-contact stage must reproduce the XLA
+    pass (collisions.shape_contact_deltas) for all four shape kinds."""
+    from adaptigraph_tpu.engine.collisions import shape_contact_deltas
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        block_sparse_contact_deltas_packed, pack_contact_tables,
+        tile_overlap_blocks)
+    from adaptigraph_tpu.engine.state import (
+        SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CONVEX, SHAPE_PLANE, make_shapes)
+
+    rng = np.random.RandomState(3)
+    n = 256
+    pos = jnp.array(rng.rand(n, 3).astype(np.float32) * 1.2
+                    - np.array([0.6, 0.0, 0.6], np.float32))
+    pos_prev = pos - jnp.array(rng.randn(n, 3).astype(np.float32)) * 0.01
+    group = jnp.array(np.arange(n) // 16, jnp.int32)
+    inv_mass = jnp.ones(n)
+    sc = jnp.zeros(n, bool)
+    active = jnp.ones(n, bool)
+    rest_pos = jnp.array(rng.rand(n, 3).astype(np.float32))
+    rest_dist, friction, filter_dist = 0.05, 0.25, 0.0
+
+    # floor plane + box + capsule + convex tetra-ish polytope, one padding slot
+    tetra = np.array([[1, 0, 0, 0.2], [0, 1, 0, 0.2], [0, 0, 1, 0.2],
+                      [-0.577, -0.577, -0.577, 0.1]], np.float32)
+    shapes = make_shapes(
+        [SHAPE_PLANE, SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CONVEX],
+        [[0, 0, 0], [0.3, 0.2, 0.3], [0.1, 0.3, 0], [0, 0, 0]],
+        [[0, 0, 0], [0.2, 0.15, 0.0], [-0.3, 0.2, 0.1], [0.1, 0.1, -0.2]],
+        [[0, 0, 0, 1], [0.1, 0.2, 0.0, 0.97], [0, 0, 0.38, 0.92],
+         [0.2, 0, 0.1, 0.97]],
+        m_max=5, planes=[None, None, None, tetra])
+    a = 4  # active shape slots
+    s_pos, s_quat = shapes.pos, shapes.quat
+    s_vel = jnp.array(rng.randn(5, 3).astype(np.float32) * 0.05)
+    cd, margin, dyn, dt = 0.04, 0.0, 0.3, 1.0 / 60
+
+    d_xla, c_xla = shape_contact_deltas(pos, pos_prev, shapes, s_pos, s_quat,
+                                        s_vel, cd, margin, dyn, dt)
+    assert float(jnp.sum(c_xla)) > 0  # scene genuinely touches shapes
+
+    rows, cols = pack_contact_tables(pos, pos_prev, group, inv_mass, sc,
+                                     active, rest_pos)
+    bidx, bcnt, _ = tile_overlap_blocks(pos, active, rest_dist * 1.5)
+    d0, c0 = block_sparse_contact_deltas_packed(
+        n, rows, cols, rest_dist, friction, filter_dist, bidx, bcnt,
+        interpret=True)
+    shp = jnp.concatenate([
+        shapes.kind[:a, None].astype(jnp.float32),
+        shapes.valid[:a, None].astype(jnp.float32),
+        shapes.size[:a], s_pos[:a], s_quat[:a], s_vel[:a],
+        jnp.zeros((a, 1), jnp.float32)], axis=1)
+    planes2d = shapes.planes[:a].reshape(-1, 4)
+    d1, c1 = block_sparse_contact_deltas_packed(
+        n, rows, cols, rest_dist, friction, filter_dist, bidx, bcnt,
+        interpret=True, shp=shp, planes2d=planes2d,
+        shape_params=(cd, margin, dyn, dt))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0 + c_xla),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0 + d_xla),
+                               atol=2e-5)

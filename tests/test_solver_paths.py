@@ -224,3 +224,41 @@ def test_cluster_segments_match_gather_granular_scene():
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-3)
+
+
+def test_fused_shape_contacts_match_xla_pass_in_solver():
+    """xpbd_step(n_shapes_active=M) fuses the kinematic-shape contact
+    stage into the Pallas sweep; positions must match the separate XLA
+    pass on a scene where the pusher genuinely displaces particles."""
+    import numpy as np
+    import jax.numpy as jnp
+    from adaptigraph_tpu.scenes.build import build_scene, Caps
+    from adaptigraph_tpu.engine.state import (SHAPE_BOX, SHAPE_PLANE,
+                                              make_shapes)
+    from adaptigraph_tpu.engine import xpbd_step
+
+    caps = Caps(n=512, s=0, c=64, k=512, m=4)
+    shapes = make_shapes([SHAPE_PLANE, SHAPE_BOX],
+                         [[0, 0, 0], [0.05, 0.4, 0.8]],
+                         [[0, 0, 0], [0, 0.4, 0]],
+                         [[0, 0, 0, 1], [0, 0, 0, 1]], m_max=4)
+    b = build_scene("rope", np.random.RandomState(0), shapes=shapes,
+                    caps=caps,
+                    scene_overrides={"length": 1.0,
+                                     "translation": np.array([0, 1.0, 0],
+                                                             np.float32),
+                                     "z_rotation": 0.0, "y_rotation": 90.0})
+    st = b.state
+    p0 = np.asarray(st.particles.pos)[: b.n_active]
+    sh = st.shapes
+    newp = np.asarray(sh.pos).copy()
+    newp[1, 1] = 0.9
+    newp[1, 0] = float(p0[:, 0].mean())
+    st = st._replace(shapes=sh.moved_to(jnp.asarray(newp), sh.quat))
+    outs = {}
+    for ns in (None, 2):
+        s2 = xpbd_step(st, b.spec, 2, 4, contact_mode="block",
+                       n_shapes_active=ns)
+        outs[ns] = np.asarray(s2.particles.pos)[: b.n_active]
+    assert np.abs(outs[None] - p0).max() > 1e-4  # pusher genuinely acted
+    np.testing.assert_allclose(outs[None], outs[2], atol=2e-5)
