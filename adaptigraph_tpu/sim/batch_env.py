@@ -119,7 +119,8 @@ class BatchSimEnv:
                 jnp.where(on, 0.0, p.inv_mass[attach_idx]))
             st = st._replace(particles=p._replace(pos=pos2, inv_mass=w2))
             st = xpbd_step(st, spec, substeps, iterations,
-                           rest_filter=rest_filter)
+                           rest_filter=rest_filter,
+                           n_shapes_active=e0.n_shapes_fused)
             return st, None
 
         def run_group(state, spec, eefs, rots, gaps, atts, lps, lqs,

@@ -86,6 +86,14 @@ class SimEnv:
         self.chunk_group = max(1, min(int(d.get("chunk_group", default_group)),
                                       self.max_chunks))
         self.caps = MATERIAL_CAPS[self.obj]
+        # fuse the kinematic-shape contact stage into the Pallas block sweep
+        # (solver._shape_stage); None = legacy XLA shape pass. Opt-in via
+        # config/env until the fused stage's whole-frame win is confirmed on
+        # the real chip (a pass-level micro-win once regressed whole frames
+        # 3x — ROUND3_NOTES #11).
+        import os as _os
+        fuse = d.get("fuse_shapes", _os.environ.get("ADAPTIGRAPH_FUSE_SHAPES"))
+        self.n_shapes_fused = self.caps.m if fuse and str(fuse) != "0" else None
         self.wkspace_height = 0.5
         self.wkspace_width = 3.5
         self.wkspace_length = 4.5
@@ -306,7 +314,8 @@ class SimEnv:
                     jnp.where(on, 0.0, p.inv_mass[attach_idx]))
                 st = st._replace(particles=p._replace(pos=pos2, inv_mass=w2))
                 st = xpbd_step(st, spec, substeps, iterations,
-                               rest_filter=rest_filter)
+                               rest_filter=rest_filter,
+                               n_shapes_active=env.n_shapes_fused)
                 return st, None
 
             def one_chunk(st, inp):

@@ -31,6 +31,7 @@ def bench(mat, variant="full", t=50, trials=3):
 
     b = scene(mat)
     st, spec = b.state, b.spec
+    ns_active = st.shapes.kind.shape[0] if variant == "fused_shapes" else None
     if variant == "no_clusters":
         spec = spec._replace(clusters=empty_clusters(0, 0),
                              global_rest=jnp.zeros((0, 3)))
@@ -42,7 +43,8 @@ def bench(mat, variant="full", t=50, trials=3):
     def run_scan(st, spec, substeps, iterations):
         def body(s, _):
             s = s._replace(shapes=s.shapes.moved_to(s.shapes.pos, s.shapes.quat))
-            s = xpbd_step(s, spec, substeps, iterations, contact_mode="block")
+            s = xpbd_step(s, spec, substeps, iterations, contact_mode="block",
+                          n_shapes_active=ns_active)
             return s, None
         final, _ = jax.lax.scan(body, st, None, length=t)
         return final
@@ -64,9 +66,9 @@ def bench(mat, variant="full", t=50, trials=3):
 
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
-    bench("rope")
-    bench("rope", "no_clusters")
-    bench("granular", t=20)
-    bench("granular", "no_clusters", t=20)
-    bench("cloth", t=20)
-    bench("cloth", "no_springs", t=20)
+    which = sys.argv[1:] or ["rope", "rope:fused_shapes", "granular",
+                             "granular:fused_shapes", "cloth",
+                             "cloth:fused_shapes"]
+    for spec_s in which:
+        mat, _, var = spec_s.partition(":")
+        bench(mat, var or "full", t=50 if mat == "rope" else 20)
