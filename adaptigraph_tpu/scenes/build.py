@@ -49,6 +49,28 @@ class Caps(NamedTuple):
     m: int  # kinematic shapes
 
 
+# particle-capacity buckets for per-scene right-sizing (bucket_caps below):
+# granular scenes span ~2k..33k active particles (samplers.granular_scene
+# area 1-9 m^2 x blob volume), and a fixed 32k pad makes every device
+# program worst-case sized — slower, and longer exposure to the remote
+# worker's large-program hang (CLAUDE.md). Lane dim stays a multiple of
+# the 128-wide contact tile at every bucket.
+N_BUCKETS = (4096, 8192, 16384, 32768)
+
+
+def bucket_caps(probe_n_active: int, probe_clusters: int, probe_members: int,
+                base: "Caps") -> "Caps":
+    """Smallest capacity set covering a probed scene: n from N_BUCKETS,
+    cluster count/width rounded up to 128 (the Mosaic lane quantum —
+    dynamic VMEM slices need lane-dim multiples of 128). Falls back to
+    `base` when the probe exceeds every bucket."""
+    n = next((b for b in N_BUCKETS if b >= probe_n_active), base.n)
+    rnd = lambda v: max(128, -(-int(v) // 128) * 128)
+    return base._replace(n=min(n, base.n),
+                         c=min(rnd(probe_clusters), base.c),
+                         k=min(rnd(probe_members), base.k))
+
+
 MATERIAL_CAPS = {
     "rope": Caps(n=3072, s=0, c=384, k=640, m=8),
     # granular raised toward the reference's largest sampled scenes (~35k,

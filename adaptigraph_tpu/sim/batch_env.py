@@ -47,6 +47,10 @@ class BatchSimEnv:
     def __init__(self, config, batch: int):
         self.batch = batch
         self.envs = [SimEnv(config) for _ in range(batch)]
+        for e in self.envs:
+            # vmapped settle/push stacks env states: per-scene capacity
+            # bucketing would give ragged shapes across the batch
+            e.bucket_caps = False
         self._vmapped = None
 
     def reset(self, seeds):
@@ -370,6 +374,9 @@ def generate_batch(config, seeds, out_dir, n_timestep=None):
 
 
 def main():
+    from adaptigraph_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default="data_gen/rope")
     ap.add_argument("--n-episode", type=int, default=8)

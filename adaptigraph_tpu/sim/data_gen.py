@@ -55,6 +55,10 @@ def _load_resume_state(env: SimEnv, epi_dir: str) -> int:
     (same seed => same scene build). Returns the next push index."""
     z = np.load(os.path.join(epi_dir, _RESUME_FILE))
     st = env.state
+    if z["pos"].shape != tuple(st.particles.pos.shape):
+        # checkpoint written under different capacity caps (e.g. before
+        # per-scene bucketing) — unusable; restart the episode from settle
+        return 0
     p = st.particles._replace(pos=np.asarray(z["pos"]),
                               vel=np.asarray(z["vel"]),
                               inv_mass=np.asarray(z["inv_mass"]))

@@ -94,6 +94,11 @@ class SimEnv:
         import os as _os
         fuse = d.get("fuse_shapes", _os.environ.get("ADAPTIGRAPH_FUSE_SHAPES"))
         self.n_shapes_fused = self.caps.m if fuse and str(fuse) != "0" else None
+        # per-scene capacity bucketing (granular): probe-build, then pad to
+        # the smallest N_BUCKETS entry that fits (scenes/build.bucket_caps)
+        bc = d.get("bucket_caps", _os.environ.get("ADAPTIGRAPH_BUCKET_CAPS", "1"))
+        self.bucket_caps = bool(bc) and str(bc) != "0"
+        self.caps_ep = self.caps
         self.wkspace_height = 0.5
         self.wkspace_width = 3.5
         self.wkspace_length = 4.5
@@ -207,7 +212,24 @@ class SimEnv:
         self.rng = np.random.RandomState(seed + 1000003)
         self._q_cur = self._q_rest.copy()
         shapes = self._build_shapes()
-        b = build_scene(self.obj, rng, shapes=shapes, caps=self.caps)
+        caps = self.caps
+        if self.obj == "granular" and self.bucket_caps:
+            # right-size the padded capacities to THIS scene: probe-build
+            # host-side (numpy only) at full caps, pick the smallest bucket
+            # that fits, rebuild from an identically-seeded rng (the builder
+            # consumes the same stream when nothing hits a cap, which the
+            # probe guarantees). Scenes overflowing the base caps keep them.
+            from adaptigraph_tpu.scenes.build import bucket_caps as _bucket
+
+            probe = build_scene(self.obj, np.random.RandomState(seed),
+                                shapes=shapes, caps=self.caps)
+            cl = probe.spec.clusters
+            caps = _bucket(probe.n_active,
+                           int(np.asarray(cl.valid).sum()),
+                           int(np.asarray(cl.member_valid).sum(1).max()),
+                           self.caps)
+        self.caps_ep = caps
+        b = build_scene(self.obj, rng, shapes=shapes, caps=caps)
         self.build = b
         self.state, self.spec = b.state, b.spec
         self.n_active = b.n_active
@@ -220,7 +242,7 @@ class SimEnv:
         # static (dimx, dimz) for surfel-shaded cloth splats (render.py)
         self._cloth_dims = ((int(b.scene["dimx"]), int(b.scene["dimz"]))
                             if self.obj == "cloth" and "dimx" in b.scene else None)
-        self.colors = np.tile(_PARTICLE_COLORS[self.obj][None], (self.caps.n, 1))
+        self.colors = np.tile(_PARTICLE_COLORS[self.obj][None], (caps.n, 1))
         # host snapshot: the live state buffers get donated by chunk dispatch,
         # so restores must not read self.build.state later
         self._inv_mass0 = np.asarray(b.state.particles.inv_mass)
@@ -274,7 +296,6 @@ class SimEnv:
     # ---------- the jitted push scan ----------
 
     def _compile_push(self):
-        caps = self.caps
         substeps, iterations = self.substeps, self.iterations
         rest_filter = self.rest_filter
         tool_slot0, n_tool = self.tool_slot0, self.n_tool

@@ -5,8 +5,10 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-from adaptigraph_tpu.utils import load_config
+from adaptigraph_tpu.utils import enable_compile_cache, load_config
 from adaptigraph_tpu.sim.data_gen import gen_episode
+
+enable_compile_cache()  # watchdog restarts skip the multi-minute recompiles
 
 BASE = int(sys.argv[1]) if len(sys.argv) > 1 else 310
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 8

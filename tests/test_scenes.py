@@ -171,3 +171,29 @@ def test_truncation_stamped_into_props():
     full = build_scene("rope", rng)
     assert "truncated_particles" not in full.props or \
         full.props["truncated_particles"] == 0
+
+
+def test_bucketed_caps_rebuild_identical_scene():
+    """Per-scene capacity bucketing (scenes/build.bucket_caps + SimEnv.reset
+    probe-rebuild): building at the smallest fitting bucket from an
+    identically-seeded rng must reproduce the full-cap scene exactly —
+    the builder consumes the same random stream when nothing hits a cap."""
+    from adaptigraph_tpu.scenes.build import MATERIAL_CAPS, bucket_caps
+
+    base = MATERIAL_CAPS["granular"]
+    for seed in (3, 7):
+        full = build_scene("granular", np.random.RandomState(seed), caps=base)
+        cl = full.spec.clusters
+        caps = bucket_caps(full.n_active,
+                           int(np.asarray(cl.valid).sum()),
+                           int(np.asarray(cl.member_valid).sum(1).max()), base)
+        small = build_scene("granular", np.random.RandomState(seed), caps=caps)
+        assert caps.n >= full.n_active and small.n_active == full.n_active
+        assert caps.n % 128 == 0 and caps.c % 128 == 0 and caps.k % 128 == 0
+        na = full.n_active
+        np.testing.assert_array_equal(
+            np.asarray(full.state.particles.pos)[:na],
+            np.asarray(small.state.particles.pos)[:na])
+        np.testing.assert_array_equal(
+            np.asarray(full.state.particles.group)[:na],
+            np.asarray(small.state.particles.group)[:na])
