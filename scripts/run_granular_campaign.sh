@@ -73,10 +73,15 @@ else
   # to host); 15 min of ~0 ticks is definitively a hung device call.
   STALL_MIN=${STALL_MIN_SEQ:-15}
   base=${GRAN_BASE:-330}
+  deadline=${GRAN_DEADLINE:-0}  # epoch secs; 0 = no deadline
   want=$(( $(python -c "
 from adaptigraph_tpu.utils import load_config
 print(int(load_config('data_gen/granular')['dataset']['n_timestep']))") + 1 ))
   for i in $(seq 0 $(( ${GRAN_N:-14} - 1 ))); do
+    if [ "$deadline" -gt 0 ] && [ "$(date +%s)" -ge "$deadline" ]; then
+      echo "[gran] deadline reached; stopping campaign $(date)" >> "$LOG"
+      break
+    fi
     epi=$((base + i))
     dir=$(printf 'data/sim_data/granular/%06d' "$epi")
     for attempt in 1 2 3; do
