@@ -246,7 +246,12 @@ def load_checkpoint(ckpt_dir, name, params_like):
 
 
 def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
-          steps_per_call=8):
+          steps_per_call=8, resume=False):
+    """resume=True restarts from the `latest` checkpoint (+ optimizer state
+    + epoch counter sidecar) when present — campaign trainings on the
+    remote TPU can be killed by the hang watchdog and retried without
+    losing finished epochs (reference trains in one uninterrupted run,
+    src/dynamics/train/train.py:19-148)."""
     dataset_config = config["dataset_config"]
     train_config = config["train_config"]
     out_dir = os.path.join(train_config["out_dir"], dataset_config["data_name"])
@@ -286,7 +291,32 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
                       for p in datasets}
 
     history = {"train": [], "valid": []}
-    for epoch in range(n_epochs):
+    epoch0 = 0
+    if resume:
+        import json
+
+        import orbax.checkpoint as ocp
+
+        latest = os.path.join(os.path.abspath(ckpt_dir), "latest")
+        meta_p = os.path.join(out_dir, "train_state.json")
+        if os.path.isdir(latest) and os.path.exists(meta_p):
+            ckptr = ocp.StandardCheckpointer()
+            params = ckptr.restore(latest, {"params": params})["params"]
+            if os.path.isdir(latest + "_optim"):
+                opt_state = ckptr.restore(
+                    latest + "_optim", {"opt_state": opt_state})["opt_state"]
+            with open(meta_p) as f:
+                epoch0 = int(json.load(f)["epoch"])
+            for phase in history:
+                fp = os.path.join(out_dir, f"loss_{phase}.txt")
+                if os.path.exists(fp):
+                    history[phase] = list(np.atleast_1d(
+                        np.loadtxt(fp)))[:epoch0]
+            params = replicate(params, mesh)
+            opt_state = replicate(opt_state, mesh)
+            print(f"resumed from epoch {epoch0}", flush=True)
+
+    for epoch in range(epoch0, n_epochs):
         t0 = time.time()
         for phase in datasets:
             d = datasets[phase]
@@ -333,6 +363,10 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
         if (ep < 100 and ep % 10 == 0) or ep % 100 == 0:
             save_checkpoint(ckpt_dir, f"model_{ep}", params)
         save_checkpoint(ckpt_dir, "latest", params, opt_state)
+        import json as _json
+
+        with open(os.path.join(out_dir, "train_state.json"), "w") as f:
+            _json.dump({"epoch": ep}, f)
         np.savetxt(os.path.join(out_dir, "loss_train.txt"), history["train"])
         if history.get("valid"):
             np.savetxt(os.path.join(out_dir, "loss_valid.txt"), history["valid"])

@@ -16,11 +16,19 @@ rm -rf data/preprocess/rope data/preprocess/granular data/preprocess/cloth
 # reference-comparable budget affordable: 40 epochs x 500 iters x batch 128
 # = 20k optimizer steps per material
 for MAT in rope granular cloth; do
-  echo "[final] train $MAT $(date)" >> $LOG
-  timeout 5400 python scripts/train_material.py "$MAT" \
-    "${EPOCHS:-40}" "${ITERS:-500}" "${BATCH:-128}" \
-    >> "/tmp/final_train_${MAT}.log" 2>&1
-  echo "[final] train $MAT rc=$? $(date)" >> $LOG
+  for attempt in 1 2; do
+    echo "[final] train $MAT attempt $attempt $(date)" >> $LOG
+    timeout 5400 python scripts/train_material.py "$MAT" \
+      "${EPOCHS:-40}" "${ITERS:-500}" "${BATCH:-128}" \
+      >> "/tmp/final_train_${MAT}.log" 2>&1
+    rc=$?
+    echo "[final] train $MAT attempt $attempt rc=$rc $(date)" >> $LOG
+    # rc 0 = trained + rolled out; retries resume from the latest
+    # checkpoint (train resume=True), so a watchdog/timeout kill only
+    # loses the in-flight epoch
+    [ "$rc" -eq 0 ] && break
+    bash scripts/tpu_watch.sh >> $LOG 2>&1
+  done
 done
 
 echo "[final] plan rope $(date)" >> $LOG

@@ -31,8 +31,11 @@ if not os.path.exists(f'/root/repo/data/preprocess/{MATERIAL}/positions.pkl'):
     preprocess(cfg)
     print(f"[{time.time()-t0:.0f}s] preprocess done", flush=True)
 
+from adaptigraph_tpu.utils import enable_compile_cache
+enable_compile_cache()
 from adaptigraph_tpu.dynamics.train import train
-params, history = train(cfg, epochs=EPOCHS, iters=ITERS, batch_size=BATCH)
+params, history = train(cfg, epochs=EPOCHS, iters=ITERS, batch_size=BATCH,
+                        resume=True)
 print(f"[{time.time()-t0:.0f}s] train done: {history['train']}", flush=True)
 
 from adaptigraph_tpu.dynamics.rollout import rollout

@@ -182,6 +182,17 @@ class TestPreprocessTrainRollout:
         params, history = train(cfg, epochs=1, steps_per_call=None)
         assert np.isfinite(history["train"]).all()
 
+    def test_train_resume_continues_epochs(self, mini_world):
+        """train(resume=True) restarts from the latest checkpoint + epoch
+        sidecar: a 2-epoch run followed by a resumed 3-epoch run must only
+        train the one missing epoch and keep the loss history length."""
+        from adaptigraph_tpu.dynamics.train import train
+
+        cfg = mini_world["dyn_cfg"]
+        train(cfg, epochs=2)
+        _, h = train(cfg, epochs=3, resume=True)
+        assert len(h["train"]) == 3
+
     def test_train_and_rollout_and_plan(self, mini_world):
         from adaptigraph_tpu.dynamics.train import train
         from adaptigraph_tpu.dynamics.rollout import rollout
