@@ -124,15 +124,26 @@ class SimCameraBackend(CameraBackend):
                          self.resolution[0] / 2], np.float32)
 
 
-def _capture_loop(backend, ring_name, h, w, stop_event, ready_event):
+def _capture_loop(backend, ring_name, h, w, stop_event, ready_event,
+                  process_depth=False):
     backend.open()
     ring = SharedMemoryRingBuffer(ring_name, _frame_specs(h, w), capacity=16,
                                   create=False)
     ready_event.set()
     seq = 0
+    processor = None
+    if process_depth:
+        from adaptigraph_tpu.planning.real_world.depth_filters import \
+            DepthProcessor
+
+        # stateful per stream (temporal history), like the reference's
+        # per-camera depth_process (single_realsense.py:213-231, :327)
+        processor = DepthProcessor()
     try:
         while not stop_event.is_set():
             color, depth, ts = backend.read()
+            if processor is not None:
+                depth = processor(depth)
             ring.put({"color": color, "depth": depth,
                       "timestamp": np.array([ts]), "seq": np.array([seq])})
             seq += 1
@@ -144,9 +155,11 @@ def _capture_loop(backend, ring_name, h, w, stop_event, ready_event):
 class SingleCamera:
     """One capture process + ring buffer (SingleRealsense equivalent)."""
 
-    def __init__(self, backend: CameraBackend, name: str, resolution=(720, 720)):
+    def __init__(self, backend: CameraBackend, name: str, resolution=(720, 720),
+                 process_depth=False):
         self.backend = backend
         self.resolution = resolution
+        self.process_depth = process_depth
         self.ring_name = f"agtpu_cam_{name}"
         h, w = resolution
         self.ring = SharedMemoryRingBuffer(self.ring_name, _frame_specs(h, w),
@@ -159,7 +172,8 @@ class SingleCamera:
         h, w = self.resolution
         self.proc = mp.Process(target=_capture_loop,
                                args=(self.backend, self.ring_name, h, w,
-                                     self.stop_event, self.ready_event),
+                                     self.stop_event, self.ready_event,
+                                     self.process_depth),
                                daemon=True)
         self.proc.start()
 
@@ -183,8 +197,10 @@ class MultiCamera:
     """Fan-out over n cameras with timestamp-aligned reads
     (MultiRealsense + RealEnv.get_obs alignment, real_env.py:152-198)."""
 
-    def __init__(self, backends: dict, resolution=(720, 720)):
-        self.cams = {name: SingleCamera(b, name, resolution)
+    def __init__(self, backends: dict, resolution=(720, 720),
+                 process_depth=False):
+        self.cams = {name: SingleCamera(b, name, resolution,
+                                        process_depth=process_depth)
                      for name, b in backends.items()}
 
     def start(self, wait_ready: float = 5.0):

@@ -361,3 +361,66 @@ class TestTimestampAccumulators:
         # more samples than requested ticks: truncation
         local = align_to_ticks([0.0, 0.1, 0.2, 0.3], [0, 1], 0.0, 0.1)
         assert local == [0, 1]
+
+
+class TestDepthFilters:
+    """Depth post-processing chain (single_realsense.py:213-231)."""
+
+    def test_spatial_smooths_noise_preserves_edges(self):
+        import numpy as np
+        from adaptigraph_tpu.planning.real_world.depth_filters import (
+            _to_disparity, _to_depth, spatial_filter)
+
+        rng = np.random.RandomState(0)
+        # two planes at 500 mm and 2000 mm with +-3 mm sensor noise
+        depth = np.full((64, 64), 500.0)
+        depth[:, 32:] = 2000.0
+        noisy = depth + rng.randn(64, 64) * 3.0
+        disp = spatial_filter(_to_disparity(noisy.astype(np.uint16)))
+        out = _to_depth(disp).astype(np.float64)
+        # noise shrinks on the near plane interior...
+        assert out[8:24, 4:28].std() < noisy[8:24, 4:28].std() * 0.7
+        # ...but the depth edge survives (edge-preserving delta gate)
+        assert abs(out[:, 30].mean() - 500) < 20
+        assert abs(out[:, 34].mean() - 2000) < 60
+
+    def test_holes_fill_and_temporal_persistence(self):
+        import numpy as np
+        from adaptigraph_tpu.planning.real_world.depth_filters import (
+            DepthProcessor)
+
+        proc = DepthProcessor()
+        depth = np.full((32, 32), 800, np.uint16)
+        first = proc(depth)
+        assert abs(int(first[16, 16]) - 800) <= 2
+        # drop a small hole: spatial holes_fill + temporal persistence
+        holed = depth.copy()
+        holed[10, 10:12] = 0
+        out = proc(holed)
+        assert out[10, 10] > 0 and abs(int(out[10, 10]) - 800) <= 4
+
+    def test_temporal_ema_converges(self):
+        import numpy as np
+        from adaptigraph_tpu.planning.real_world.depth_filters import (
+            TemporalFilter, _to_disparity)
+
+        tf = TemporalFilter(alpha=0.75, delta=1.0)
+        a = _to_disparity(np.full((8, 8), 1000, np.uint16))
+        tf(a)
+        # small per-frame flicker (within delta) is EMA-damped toward it
+        b = a + 0.4
+        out = tf(b)
+        assert np.all(out < b) and np.all(out > a)
+
+    def test_multicamera_process_depth_flag(self):
+        from adaptigraph_tpu.planning.real_world.cameras import (
+            MultiCamera, SimCameraBackend)
+
+        rig = MultiCamera({"cam": SimCameraBackend((16, 16))}, (16, 16),
+                          process_depth=True)
+        assert rig.start(wait_ready=10.0)
+        try:
+            frames = rig.get_obs()
+            assert frames is not None and frames["cam"]["depth"].shape == (16, 16)
+        finally:
+            rig.stop()
