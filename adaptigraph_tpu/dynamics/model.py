@@ -48,9 +48,13 @@ class ModelConfig:
     rel_density_dim: int = 0
     motion_clamp: float = 100.0
     compute_dtype: Any = jnp.float32
-    # 'matmul': gather/aggregate via one-hot incidence matmuls (MXU — fastest
+    # 'matmul': gather/aggregate via one-hot incidence matmuls (MXU — fast
     # for the 100-node/1000-edge graphs in play); 'segment': index gathers +
-    # segment_sum (lower memory at much larger graphs)
+    # segment_sum (lower memory at much larger graphs); 'slotted': edges MUST
+    # come from ops.build_edges_slotted (slot row i belongs to receiver i) —
+    # receiver gathers become broadcasts and aggregation a free sum over the
+    # slot axis, leaving one sender take per pstep (no scatter, no one-hots).
+    # All modes share identical parameters: checkpoints are interchangeable.
     aggregation: str = "matmul"
 
 
@@ -141,31 +145,7 @@ class DynamicsPredictor(nn.Module):
             p_in.append(jnp.where(is_obj, den, 0.0))
         p_inputs = jnp.concatenate(p_in, axis=-1)
 
-        # ---- edge features (model.py:209-265) ----
-        ev = edge_valid.astype(dt)[:, None]
-        rel_in = []
-        if cfg.rel_particle_dim > 0:
-            rel_in += [p_inputs[recv], p_inputs[send]]
-        if cfg.rel_attr_dim > 0:
-            rel_in += [attrs.astype(dt)[recv], attrs.astype(dt)[send]]
-        if cfg.rel_group_dim > 0:
-            g = jnp.concatenate(
-                [p_instance.astype(dt),
-                 jnp.zeros((n - n_obj, p_instance.shape[1]), dtype=dt)], axis=0)
-            gdiff = jnp.sum(jnp.abs(g[recv] - g[send]), axis=-1, keepdims=True)
-            rel_in.append(gdiff)
-        if cfg.rel_distance_dim > 0:
-            rel_in.append(state_feat[recv] - state_feat[send])
-        if cfg.rel_density_dim > 0:
-            rel_in.append(particle_den[recv] - particle_den[send])
-        rel_inputs = jnp.concatenate(rel_in, axis=-1) * ev
-
-        node_enc = _Encoder(cfg.nf, cfg.nf, dt, name="particle_encoder")(p_inputs)
-        edge_enc = _Encoder(cfg.nf, cfg.nf, dt, name="relation_encoder")(rel_inputs) * ev
-
-        edge_prop = _Propagator(cfg.nf, dt, name="relation_propagator")
-        node_prop = _Propagator(cfg.nf, dt, name="particle_propagator")
-
+        # ---- aggregation mode (see ModelConfig.aggregation) ----
         if cfg.aggregation == "matmul":
             # one-hot incidence (built once per forward): gathers and the
             # receiver aggregation become MXU matmuls — at E~1000/N~100 this
@@ -181,6 +161,27 @@ class DynamicsPredictor(nn.Module):
 
             def aggregate(e):
                 return rr.T @ e
+        elif cfg.aggregation == "slotted":
+            # slotted edge layout (ops.build_edges_slotted): slot row i holds
+            # receiver i's candidates, so receiver-side values broadcast and
+            # the receiver aggregation is a slot-axis sum — no scatter, no
+            # (E, N) one-hots; the sender take is the only real gather.
+            # Invalid slots are masked by `ev` exactly as in the other modes.
+            n_edges = recv.shape[0]
+            assert n_edges % n == 0, (
+                "slotted aggregation requires edges from build_edges_slotted "
+                f"(E={n_edges} not a multiple of N={n})")
+            s = n_edges // n
+
+            def gather_r(x):
+                return jnp.broadcast_to(
+                    x[:, None, :], (n, s, x.shape[-1])).reshape(n_edges, -1)
+
+            def gather_s(x):
+                return x[send]
+
+            def aggregate(e):
+                return e.reshape(n, s, -1).sum(axis=1)
         else:
             def gather_r(x):
                 return x[recv]
@@ -190,6 +191,32 @@ class DynamicsPredictor(nn.Module):
 
             def aggregate(e):
                 return jax.ops.segment_sum(e, recv, num_segments=n)
+
+        # ---- edge features (model.py:209-265) ----
+        ev = edge_valid.astype(dt)[:, None]
+        rel_in = []
+        if cfg.rel_particle_dim > 0:
+            rel_in += [gather_r(p_inputs), gather_s(p_inputs)]
+        if cfg.rel_attr_dim > 0:
+            rel_in += [gather_r(attrs.astype(dt)), gather_s(attrs.astype(dt))]
+        if cfg.rel_group_dim > 0:
+            g = jnp.concatenate(
+                [p_instance.astype(dt),
+                 jnp.zeros((n - n_obj, p_instance.shape[1]), dtype=dt)], axis=0)
+            gdiff = jnp.sum(jnp.abs(gather_r(g) - gather_s(g)), axis=-1,
+                            keepdims=True)
+            rel_in.append(gdiff)
+        if cfg.rel_distance_dim > 0:
+            rel_in.append(gather_r(state_feat) - gather_s(state_feat))
+        if cfg.rel_density_dim > 0:
+            rel_in.append(gather_r(particle_den) - gather_s(particle_den))
+        rel_inputs = jnp.concatenate(rel_in, axis=-1) * ev
+
+        node_enc = _Encoder(cfg.nf, cfg.nf, dt, name="particle_encoder")(p_inputs)
+        edge_enc = _Encoder(cfg.nf, cfg.nf, dt, name="relation_encoder")(rel_inputs) * ev
+
+        edge_prop = _Propagator(cfg.nf, dt, name="relation_propagator")
+        node_prop = _Propagator(cfg.nf, dt, name="particle_propagator")
 
         effect = node_enc
         for _ in range(cfg.pstep):
@@ -206,8 +233,20 @@ class DynamicsPredictor(nn.Module):
 
 
 def model_config_from_yaml(model_cfg: Dict, dataset_cfg: Dict, phys_dim: int) -> ModelConfig:
-    """Build a ModelConfig from reference-style yaml blocks."""
+    """Build a ModelConfig from reference-style yaml blocks.
+
+    `aggregation` may be set in the model yaml block or overridden with
+    ADAPTIGRAPH_GNN_AGG (modes share parameters, so checkpoints are
+    interchangeable). 'slotted' is only valid where edges come from
+    build_edges_slotted (planning rollouts); trainer/eval paths that use
+    reference-order `build_edges` must keep 'matmul'/'segment'.
+    """
+    import os
+
+    agg = os.environ.get("ADAPTIGRAPH_GNN_AGG",
+                         model_cfg.get("aggregation", "matmul"))
     return ModelConfig(
+        aggregation=agg,
         n_his=int(dataset_cfg["n_his"]),
         nf=int(model_cfg.get("nf_effect", 150)),
         pstep=int(model_cfg.get("pstep", 3)),

@@ -88,17 +88,21 @@ def bench_pbd(n=5120, t=100, trials=3):
     return best
 
 
-def bench_gnn(batch=512, steps=20, trials=3):
+def bench_gnn(batch=512, steps=20, trials=3, aggregation="matmul"):
     """Batched autoregressive GNN rollout throughput WITH per-step edge
     rebuild: graph steps/s = batch * steps / wall. Matches the planning
     rollout's inner loop (forward_dynamics.py:113). Also returns an MFU
-    estimate from XLA's own flop count for the rollout program."""
+    estimate from XLA's own flop count for the rollout program.
+
+    `aggregation` selects the message-passing mode (model.py ModelConfig);
+    the edges here come from the slotted builder, so all modes are valid
+    and parameters are shared — main() measures each and reports the best."""
     from adaptigraph_tpu.dynamics.model import DynamicsPredictor, ModelConfig
     from adaptigraph_tpu.dynamics.train import make_apply
     from adaptigraph_tpu.ops import (build_edges_slotted,
                                      build_edges_slotted_batch)
 
-    cfg = ModelConfig(n_his=4, nf=150, pstep=3)
+    cfg = ModelConfig(n_his=4, nf=150, pstep=3, aggregation=aggregation)
     model = DynamicsPredictor(cfg)
     n_obj, n_eef = 100, 1
     n = n_obj + n_eef
@@ -231,7 +235,11 @@ def bench_mppi(n_sample=20000, trials=3):
 def main():
     backend = jax.default_backend()
     pbd = bench_pbd()
-    gnn, gnn_flops_per_s = bench_gnn()
+    by_mode = {}
+    for mode in ("matmul", "slotted"):
+        by_mode[mode] = bench_gnn(aggregation=mode)
+    best_mode = max(by_mode, key=lambda m: by_mode[m][0])
+    gnn, gnn_flops_per_s = by_mode[best_mode]
     mppi = bench_mppi()
     combined = pbd + gnn
     # v5e (TPU v5 lite) peak: ~197 TFLOP/s bf16 / ~98.5 f32 MXU. The GNN
@@ -247,6 +255,8 @@ def main():
         "vs_baseline": round(combined / 10000.0, 4),
         "pbd_steps_per_s": round(pbd, 1),
         "gnn_graph_steps_per_s": round(gnn, 1),
+        "gnn_agg_mode": best_mode,
+        "gnn_by_mode": {m: round(v[0], 1) for m, v in by_mode.items()},
         "gnn_mfu_f32": round(mfu, 4) if mfu is not None else None,
         "mppi_samples_per_s": round(mppi, 1),
         "backend": backend,

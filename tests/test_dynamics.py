@@ -202,3 +202,51 @@ class TestDatasetPrep:
         om = np.asarray(g["obj_mask"])
         st = np.asarray(g["state"])[:, :100]
         assert np.abs(st[:, ~om]).max() < 0.05 * np.sqrt(2) + 1e-2
+
+
+class TestAggregationModes:
+    """'matmul' / 'segment' / 'slotted' share params and must agree.
+
+    'slotted' requires edges from build_edges_slotted (slot row i belongs to
+    receiver i); on such edges all three modes compute the same math."""
+
+    def test_modes_agree_on_slotted_edges(self):
+        from adaptigraph_tpu.ops import build_edges_slotted
+
+        n_obj, n_eef, n_his = 20, 1, 4
+        n = n_obj + n_eef
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        state = jax.random.normal(k1, (n_his, n, 3)) * 0.3
+        attrs = jnp.zeros((n, 2)).at[:n_obj, 0].set(1.0).at[n_obj:, 1].set(1.0)
+        sm = jnp.ones(n, bool)
+        em = jnp.zeros(n, bool).at[n_obj:].set(True)
+        e = build_edges_slotted(state[-1], 1.0, sm, em, topk=6)
+        action = jnp.zeros((n, 3)).at[n_obj:].set(
+            jax.random.normal(k2, (n_eef, 3)) * 0.1)
+        args = (state, attrs, e.receivers, e.senders, e.valid,
+                jnp.ones((n_obj, 1)), jnp.array([0.5]))
+
+        outs = {}
+        params = None
+        for mode in ("segment", "matmul", "slotted"):
+            cfg = ModelConfig(n_his=n_his, nf=32, pstep=2, aggregation=mode)
+            model = DynamicsPredictor(cfg)
+            if params is None:
+                params = model.init(jax.random.PRNGKey(1), *args,
+                                    action=action)["params"]
+            outs[mode] = model.apply({"params": params}, *args, action=action)[0]
+
+        np.testing.assert_allclose(outs["segment"], outs["slotted"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(outs["segment"], outs["matmul"],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_slotted_rejects_non_multiple_edge_count(self):
+        g = _toy_graph(jax.random.PRNGKey(0), max_nR=97)
+        cfg = ModelConfig(n_his=4, nf=32, pstep=2, aggregation="slotted")
+        model = DynamicsPredictor(cfg)
+        with pytest.raises(AssertionError):
+            model.init(jax.random.PRNGKey(1), g["state"], g["attrs"],
+                       g["recv"], g["send"], g["edge_valid"],
+                       g["p_instance"], g["physics_param"],
+                       action=g["action"])
