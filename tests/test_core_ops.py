@@ -292,3 +292,30 @@ class TestSlottedEdges:
     def test_connect_tools_near_gate(self):
         self._case(0, cta=True, near_gate=True)
         self._case(0, cta=True, near_gate=True, far_tool=True)
+
+
+class TestNativeFPS:
+    """native/fps.cpp vs the numpy fallback: bit-identical index sequences."""
+
+    def test_native_lib_loads(self):
+        from adaptigraph_tpu.utils import host_fps as hf
+        assert hf._load(), "libfps.so missing — run native/build.sh"
+
+    def test_fps_with_idx_matches_numpy(self):
+        from adaptigraph_tpu.utils import host_fps as hf
+        pts = np.random.RandomState(0).randn(500, 3).astype(np.float32)
+        _, idx_nat = hf.fps_with_idx(pts, 64)
+        _, idx_np = hf._fps_with_idx_np(pts, 64)
+        assert np.array_equal(idx_nat, idx_np)
+
+    def test_fps_rad_idx_matches_numpy(self):
+        from adaptigraph_tpu.utils import host_fps as hf
+        pts = np.random.RandomState(1).randn(400, 3).astype(np.float32)
+
+        class FixedRng:
+            def randint(self, n):
+                return 7
+
+        _, idx_nat = hf.fps_rad_idx(pts, 0.8, FixedRng())
+        _, idx_np = hf._fps_rad_idx_np(pts, 0.8, start=7)
+        assert np.array_equal(idx_nat, idx_np)
