@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from adaptigraph_tpu.ops import build_edges, fps_subsample
+from adaptigraph_tpu.ops import build_edges, build_edges_slotted, fps_subsample
 from adaptigraph_tpu.sim.episode_io import load_property_params
 from adaptigraph_tpu.utils.geometry import rotation_2d_z
 
@@ -150,7 +150,7 @@ class DynDataset:
 
 def _prepare_one(obj, eef, nobj_raw, physics, key, *, n_his, n_future, max_nobj,
                  max_nR, fps_radius_range, adj_radius_range, topk, connect_tool_all,
-                 state_noise, phys_noise, augment):
+                 state_noise, phys_noise, augment, slotted=False):
     """Build one training graph on device (mirrors dataset.py:73-252)."""
     t_w, n_raw, _ = obj.shape
     n_eef = eef.shape[1]
@@ -205,8 +205,18 @@ def _prepare_one(obj, eef, nobj_raw, physics, key, *, n_his, n_future, max_nobj,
 
     adj_r = jax.random.uniform(k_adj, (), minval=adj_radius_range[0],
                                maxval=adj_radius_range[1])
-    edges = build_edges(state_history[-1], adj_r, state_mask, eef_mask, topk=topk,
-                        connect_tools_all=connect_tool_all, max_edges=max_nR)
+    if slotted:
+        # same valid edge set, slot layout (no per-sample O(N^2 log N)
+        # argsort); requires the model's 'slotted' aggregation mode —
+        # training math is identical (message passing is permutation-
+        # invariant and modes share parameters)
+        edges = build_edges_slotted(state_history[-1], adj_r, state_mask,
+                                    eef_mask, topk=topk,
+                                    connect_tools_all=connect_tool_all,
+                                    tool_slots=eef.shape[1])
+    else:
+        edges = build_edges(state_history[-1], adj_r, state_mask, eef_mask, topk=topk,
+                            connect_tools_all=connect_tool_all, max_edges=max_nR)
 
     return {
         "state": state_history,
@@ -226,14 +236,17 @@ def _prepare_one(obj, eef, nobj_raw, physics, key, *, n_his, n_future, max_nobj,
     }
 
 
-def make_prepare_fn(dataset: DynDataset):
-    """Returns a jitted (raw_batch, key) -> graph batch function."""
+def make_prepare_fn(dataset: DynDataset, slotted: bool = False):
+    """Returns a jitted (raw_batch, key) -> graph batch function.
+
+    slotted=True emits slot-layout edges (build_edges_slotted) for models
+    running the 'slotted' aggregation mode."""
     kwargs = dict(
         n_his=dataset.n_his, n_future=dataset.n_future, max_nobj=dataset.max_nobj,
         max_nR=dataset.max_nR, fps_radius_range=dataset.fps_radius_range,
         adj_radius_range=dataset.adj_radius_range, topk=dataset.topk,
         connect_tool_all=dataset.connect_tool_all, state_noise=dataset.state_noise,
-        phys_noise=dataset.phys_noise, augment=dataset.augment)
+        phys_noise=dataset.phys_noise, augment=dataset.augment, slotted=slotted)
     one = partial(_prepare_one, **kwargs)
 
     @jax.jit

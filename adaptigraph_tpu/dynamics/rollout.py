@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from adaptigraph_tpu.dynamics.dataset import DynDataset
 from adaptigraph_tpu.dynamics.train import load_checkpoint, init_model, make_apply
-from adaptigraph_tpu.ops import build_edges
+from adaptigraph_tpu.ops import build_edges, build_edges_slotted
 from adaptigraph_tpu.utils import load_config
 from adaptigraph_tpu.utils.host_fps import fps_rad_idx, fps_with_idx
 
@@ -44,8 +44,11 @@ def fps_indices(points, max_nobj, radius, rng):
 
 
 def construct_graph(dataset_config, eef_pos, obj_pos, n_his, pair, physics_param,
-                    rng=None):
-    """Start graph for a rollout (rollout/graph.py:233-372), numpy."""
+                    rng=None, slotted=False):
+    """Start graph for a rollout (rollout/graph.py:233-372), numpy.
+
+    slotted=True emits slot-layout edges for models in the 'slotted'
+    aggregation mode (same valid edge set; see ops.build_edges_slotted)."""
     ds = dataset_config["datasets"][0]
     max_nobj = int(ds["max_nobj"])
     max_nR = int(ds["max_nR"])
@@ -77,9 +80,15 @@ def construct_graph(dataset_config, eef_pos, obj_pos, n_his, pair, physics_param
     attrs[max_nobj:, 1] = 1.0
     p_instance = obj_mask.astype(np.float32)[:, None]
 
-    edges = build_edges(jnp.array(state_history[-1]), adj_thresh, jnp.array(state_mask),
-                        jnp.array(eef_mask), topk=int(ds["topk"]),
-                        connect_tools_all=bool(ds["connect_tool_all"]), max_edges=max_nR)
+    if slotted:
+        edges = build_edges_slotted(
+            jnp.array(state_history[-1]), adj_thresh, jnp.array(state_mask),
+            jnp.array(eef_mask), topk=int(ds["topk"]),
+            connect_tools_all=bool(ds["connect_tool_all"]), tool_slots=n_eef)
+    else:
+        edges = build_edges(jnp.array(state_history[-1]), adj_thresh, jnp.array(state_mask),
+                            jnp.array(eef_mask), topk=int(ds["topk"]),
+                            connect_tools_all=bool(ds["connect_tool_all"]), max_edges=max_nR)
 
     graph = {
         "state": jnp.array(state_history),
@@ -112,6 +121,7 @@ def make_rollout_step(model, dataset_config):
     topk = int(ds["topk"])
     cta = bool(ds["connect_tool_all"])
     max_nR = int(ds["max_nR"])
+    slotted = model.cfg.aggregation == "slotted"
     apply = make_apply(model)
 
     @jax.jit
@@ -124,9 +134,15 @@ def make_rollout_step(model, dataset_config):
         states = jnp.concatenate([pred, eef_start], axis=0)
         delta = jnp.zeros_like(states)
         delta = delta.at[n_obj:].set(eef_end - eef_start)
-        edges = build_edges(states, adj_thresh, graph["state_mask"],
-                            graph["eef_mask"], topk=topk, connect_tools_all=cta,
-                            max_edges=max_nR)
+        if slotted:
+            edges = build_edges_slotted(states, adj_thresh, graph["state_mask"],
+                                        graph["eef_mask"], topk=topk,
+                                        connect_tools_all=cta,
+                                        tool_slots=eef_start.shape[0])
+        else:
+            edges = build_edges(states, adj_thresh, graph["state_mask"],
+                                graph["eef_mask"], topk=topk, connect_tools_all=cta,
+                                max_edges=max_nR)
         state_history = jnp.concatenate(
             [graph["state"][1:], states[None]], axis=0)
         new_graph = dict(graph, state=state_history, action=delta,
@@ -237,8 +253,9 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
             if pairs.ndim == 1:
                 continue
             pair = pairs[0]
-            graph, fps_idx = construct_graph(dataset_config, eef_pos, obj_pos, n_his,
-                                             pair, physics, rng)
+            graph, fps_idx = construct_graph(
+                dataset_config, eef_pos, obj_pos, n_his, pair, physics, rng,
+                slotted=(model.cfg.aggregation == "slotted"))
             viz_ctx = None
             if viz:
                 viz_ctx = _make_viz_ctx(dataset_config, name, pi, out_dir)

@@ -161,7 +161,8 @@ def make_train_chunk(model, n_future: int, optimizer, dataset: DynDataset,
         adj_radius_range=dataset.adj_radius_range, topk=dataset.topk,
         connect_tool_all=dataset.connect_tool_all,
         state_noise=dataset.state_noise, phys_noise=dataset.phys_noise,
-        augment=dataset.augment)
+        augment=dataset.augment,
+        slotted=(model.cfg.aggregation == "slotted"))
     from adaptigraph_tpu.dynamics.dataset import _prepare_one
 
     one = partial(_prepare_one, **kwargs)
@@ -213,7 +214,7 @@ def init_model(config, dataset: DynDataset):
                                 dataset.phys_dim)
     model = DynamicsPredictor(mc)
     raw = dataset.raw_batch(np.arange(1))
-    prep = make_prepare_fn(dataset)
+    prep = make_prepare_fn(dataset, slotted=(mc.aggregation == "slotted"))
     g = prep(raw, jax.random.PRNGKey(0))
     g1 = jax.tree.map(lambda x: x[0], g)
     params = model.init(
@@ -260,9 +261,10 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
 
     datasets = {p: DynDataset(dataset_config, config["material_config"], p)
                 for p in train_config.get("phases", ["train", "valid"])}
-    preps = {p: make_prepare_fn(d) for p, d in datasets.items()}
 
     model, params = init_model(config, datasets["train"])
+    slotted = model.cfg.aggregation == "slotted"
+    preps = {p: make_prepare_fn(d, slotted=slotted) for p, d in datasets.items()}
     # lr from config (train_config.lr, reference default 1e-3 — the
     # reference hardcodes it at train.py:63 but its config advertises it)
     optimizer = optax.adam(float(train_config.get("lr", 1e-3)))

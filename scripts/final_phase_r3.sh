@@ -19,6 +19,15 @@ echo "[final] start $(date); hard end $(date -d @$HARD_END)" >> $LOG
 # stale preprocess caches reflect the pre-campaign episode sets
 rm -rf data/preprocess/rope data/preprocess/granular data/preprocess/cloth
 
+# measure the GNN aggregation mode on the chip (matmul vs slotted train
+# chunks are mathematically identical; the winner carries through training,
+# rollout eval and planning via ADAPTIGRAPH_GNN_AGG)
+echo "[final] aggregation probe $(date)" >> $LOG
+timeout 1200 python scripts/probe_train_agg.py > /tmp/probe_agg.log 2>&1
+AGG=$(grep -o 'AGG_WINNER=[a-z]*' /tmp/probe_agg.log | tail -1 | cut -d= -f2)
+export ADAPTIGRAPH_GNN_AGG=${AGG:-matmul}
+echo "[final] aggregation mode: $ADAPTIGRAPH_GNN_AGG $(date)" >> $LOG
+
 TRAIN_END=$((HARD_END - 7200))
 PLAN_END=$((HARD_END - 1800))
 

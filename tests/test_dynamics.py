@@ -250,3 +250,80 @@ class TestAggregationModes:
                        g["recv"], g["send"], g["edge_valid"],
                        g["p_instance"], g["physics_param"],
                        action=g["action"])
+
+
+class TestSlottedTraining:
+    """Slotted edge layout through prepare -> train step: the loss trajectory
+    must track the row-major path (same edge set, permutation-invariant
+    message passing, shared parameters)."""
+
+    def _toy_graph_slotted(self, key, n_obj=20, n_eef=1, n_his=4):
+        from adaptigraph_tpu.ops import build_edges_slotted
+
+        k1, k2 = jax.random.split(key, 2)
+        n = n_obj + n_eef
+        state = jax.random.normal(k1, (n_his, n, 3)) * 0.3
+        attrs = jnp.zeros((n, 2)).at[:n_obj, 0].set(1.0).at[n_obj:, 1].set(1.0)
+        sm = jnp.ones(n, bool)
+        em = jnp.zeros(n, bool).at[n_obj:].set(True)
+        e = build_edges_slotted(state[-1], 1.0, sm, em, topk=10)
+        action = jnp.zeros((n, 3)).at[n_obj:].set(
+            jax.random.normal(k2, (n_eef, 3)) * 0.1)
+        return {
+            "state": state, "attrs": attrs, "recv": e.receivers,
+            "send": e.senders, "edge_valid": e.valid,
+            "p_instance": jnp.ones((n_obj, 1)),
+            "physics_param": jnp.array([0.5]), "action": action,
+            "obj_mask": jnp.ones(n_obj, bool),
+        }
+
+    def test_slotted_train_step_loss_decreases(self):
+        from adaptigraph_tpu.dynamics.train import make_train_step
+
+        cfg = ModelConfig(n_his=4, nf=32, pstep=2, aggregation="slotted")
+        model = DynamicsPredictor(cfg)
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        gs = [self._toy_graph_slotted(k) for k in keys]
+        batch = jax.tree.map(lambda *x: jnp.stack(x), *gs)
+        b, n_obj = 4, 20
+        batch["state_future"] = jnp.tile(
+            batch["state"][:, -1, :n_obj][:, None], (1, 3, 1, 1)) + 0.01
+        batch["eef_future"] = jnp.zeros((b, 2, 21, 3))
+        batch["action_future"] = jnp.zeros((b, 2, 21, 3))
+        params = model.init(jax.random.PRNGKey(1), gs[0]["state"], gs[0]["attrs"],
+                            gs[0]["recv"], gs[0]["send"], gs[0]["edge_valid"],
+                            gs[0]["p_instance"], gs[0]["physics_param"],
+                            action=gs[0]["action"])["params"]
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        train_step, _ = make_train_step(model, 3, opt)
+        losses = []
+        for _ in range(30):
+            params, opt_state, loss = train_step(params, opt_state, batch)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5
+
+    def test_prepare_one_slotted_layout(self):
+        """_prepare_one(slotted=True) emits n-divisible slot edges with the
+        same valid edge set as the row-major path."""
+        from adaptigraph_tpu.dynamics.dataset import _prepare_one
+
+        rng = np.random.RandomState(0)
+        t_w, n_raw, n_eef = 7, 60, 1
+        obj = jnp.asarray(rng.randn(t_w, n_raw, 3) * 0.3)
+        eef = jnp.asarray(rng.randn(t_w, n_eef, 3) * 0.3)
+        kw = dict(n_his=4, n_future=3, max_nobj=40, max_nR=400,
+                  fps_radius_range=(0.05, 0.1), adj_radius_range=(0.5, 0.5),
+                  topk=5, connect_tool_all=False, state_noise=0.0,
+                  phys_noise=0.0, augment=False)
+        g_row = _prepare_one(obj, eef, jnp.int32(n_raw), jnp.ones(1), 
+                             jax.random.PRNGKey(7), slotted=False, **kw)
+        g_slot = _prepare_one(obj, eef, jnp.int32(n_raw), jnp.ones(1),
+                              jax.random.PRNGKey(7), slotted=True, **kw)
+        n = 41
+        assert g_slot["recv"].shape[0] % n == 0
+        row_set = {(int(r), int(s)) for r, s, v in zip(
+            g_row["recv"], g_row["send"], g_row["edge_valid"]) if v}
+        slot_set = {(int(r), int(s)) for r, s, v in zip(
+            g_slot["recv"], g_slot["send"], g_slot["edge_valid"]) if v}
+        assert row_set == slot_set
