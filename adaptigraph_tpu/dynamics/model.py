@@ -237,9 +237,11 @@ def model_config_from_yaml(model_cfg: Dict, dataset_cfg: Dict, phys_dim: int) ->
 
     `aggregation` may be set in the model yaml block or overridden with
     ADAPTIGRAPH_GNN_AGG (modes share parameters, so checkpoints are
-    interchangeable). 'slotted' is only valid where edges come from
-    build_edges_slotted (planning rollouts); trainer/eval paths that use
-    reference-order `build_edges` must keep 'matmul'/'segment'.
+    interchangeable). 'slotted' requires slot-layout edges; the trainer,
+    rollout evaluator and planner all switch their edge builders to
+    build_edges_slotted automatically when the model is in this mode
+    (dataset._prepare_one(slotted=True), rollout.construct_graph/
+    make_rollout_step, planning.forward_dynamics).
     """
     import os
 
