@@ -233,12 +233,48 @@ def bench_mppi(n_sample=20000, trials=3):
     return best
 
 
+def _pbd_variant_subprocess(mode: str, timeout_s: int = 900):
+    """Run one PBD contact-mode variant in a BOUNDED child process.
+
+    The remote TPU worker is known to wedge on some large Pallas programs
+    (CLAUDE.md); a hung variant inside the driver's bench run would leave
+    the round with no artifact at all. Each variant therefore runs in its
+    own child bounded by `timeout_s`; on a hang/crash the parent waits for
+    backend recovery and carries on with the variants that work.
+    """
+    import os
+    import re
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pbd-mode", mode],
+            timeout=timeout_s, capture_output=True, text=True,
+            env=dict(os.environ))
+        m = re.search(r"PBD_RESULT (\S+) ([0-9.]+)", r.stdout)
+        if r.returncode == 0 and m:
+            return float(m.group(2))
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
 def main():
     backend = jax.default_backend()
     # same scene/physics either way — 'block' (AABB-culled tile sweep) vs
     # 'dense' (all-pairs) is an implementation choice whose crossover point
-    # is hardware-dependent; measure both and report the best
-    pbd_by_mode = {m: bench_pbd(contact_mode=m) for m in ("block", "dense")}
+    # is hardware-dependent; measure both (in bounded children, see
+    # _pbd_variant_subprocess) and report the best
+    pbd_by_mode = {}
+    for m in ("block", "dense"):
+        v = _pbd_variant_subprocess(m)
+        if v is not None:
+            pbd_by_mode[m] = v
+        elif not _backend_reachable():
+            break  # worker down and not coming back; report what we have
+    if not pbd_by_mode:  # both children failed: last resort, in-process block
+        pbd_by_mode["block"] = bench_pbd(contact_mode="block")
     pbd_mode = max(pbd_by_mode, key=pbd_by_mode.get)
     pbd = pbd_by_mode[pbd_mode]
     by_mode = {}
@@ -295,7 +331,10 @@ def _backend_reachable(timeout_s: int = 240, attempts: int = 3) -> bool:
 
 
 if __name__ == "__main__":
-    if _backend_reachable():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--pbd-mode":
+        mode = sys.argv[2]
+        print(f"PBD_RESULT {mode} {bench_pbd(contact_mode=mode):.2f}")
+    elif _backend_reachable():
         main()
     else:
         print(json.dumps({
