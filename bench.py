@@ -164,7 +164,7 @@ def bench_gnn(batch=512, steps=20, trials=3, aggregation="matmul"):
     return best, flops_per_s
 
 
-def bench_mppi(n_sample=20000, trials=3):
+def bench_mppi(n_sample=20000, trials=3, aggregation="matmul"):
     """MPPI population throughput at the reference planning load
     (BASELINE.md third target): 20 000 action samples, look-ahead 1, rope
     task config, full population rolled out + scored as ONE vmapped program
@@ -178,7 +178,8 @@ def bench_mppi(n_sample=20000, trials=3):
     from adaptigraph_tpu.utils import load_config
 
     tc = load_config("planning/rope")["task_config"]
-    cfg = ModelConfig(n_his=int(tc["n_his"]), nf=150, pstep=3)
+    cfg = ModelConfig(n_his=int(tc["n_his"]), nf=150, pstep=3,
+                      aggregation=aggregation)
     model = DynamicsPredictor(cfg)
     nobj = int(tc["max_nobj"])
     key = jax.random.PRNGKey(0)
@@ -282,7 +283,7 @@ def main():
         by_mode[mode] = bench_gnn(aggregation=mode)
     best_mode = max(by_mode, key=lambda m: by_mode[m][0])
     gnn, gnn_flops_per_s = by_mode[best_mode]
-    mppi = bench_mppi()
+    mppi = bench_mppi(aggregation=best_mode)
     combined = pbd + gnn
     # v5e (TPU v5 lite) peak: ~197 TFLOP/s bf16 / ~98.5 f32 MXU. The GNN
     # runs f32; report utilization against the f32 peak.
