@@ -28,6 +28,13 @@ AGG=$(grep -o 'AGG_WINNER=[a-z]*' /tmp/probe_agg.log | tail -1 | cut -d= -f2)
 export ADAPTIGRAPH_GNN_AGG=${AGG:-matmul}
 echo "[final] aggregation mode: $ADAPTIGRAPH_GNN_AGG $(date)" >> $LOG
 
+# frame-cost decomposition at the bench point (profiling data for the PBD
+# lever; bounded — purely informational)
+echo "[final] frame-part profile $(date)" >> $LOG
+timeout 900 python scripts/bench_frame_parts.py > /tmp/frame_parts_r3.log 2>&1
+echo "[final] frame-part profile rc=$? $(date)" >> $LOG
+cp /tmp/frame_parts_r3.log data/frame_parts_r3.log 2>/dev/null
+
 TRAIN_END=$((HARD_END - 7200))
 PLAN_END=$((HARD_END - 1800))
 
