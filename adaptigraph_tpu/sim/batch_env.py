@@ -383,8 +383,13 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--base", type=int, default=0)
     ap.add_argument("--out", type=str, default="data/sim_data")
+    ap.add_argument("--screen", type=int, default=0,
+                    help="override screenWidth/Height (0 = keep config)")
     args = ap.parse_args()
     config = load_config(args.config)
+    if args.screen:
+        config["dataset"]["screenWidth"] = args.screen
+        config["dataset"]["screenHeight"] = args.screen
     for lo in range(args.base, args.base + args.n_episode, args.batch):
         seeds = list(range(lo, min(lo + args.batch, args.base + args.n_episode)))
         try:
