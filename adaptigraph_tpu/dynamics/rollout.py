@@ -209,6 +209,14 @@ def _make_viz_ctx(dataset_config, name, push_i, out_dir, cam=0):
     if not imgs:
         return None
     imgs = np.concatenate(imgs, axis=0)
+    # the shared cameras/intrinsic.npy reflects the LAST campaign's render
+    # resolution; episodes may be stored at another one (the resolution is a
+    # data-gen knob). The renderer's intrinsics scale linearly with image
+    # size (fx = (W/2)/tan(fov/2), ppx = W/2), so rescale to this episode.
+    w_img = imgs.shape[2]
+    scale = w_img / (2.0 * float(intr[2]))  # intr = [fx, fy, cx, cy]
+    if abs(scale - 1.0) > 1e-6:
+        intr = intr * scale
     save_dir = os.path.join(out_dir, f"viz_{name}_{push_i + 1}_cam{cam}")
     os.makedirs(save_dir, exist_ok=True)
     return {"imgs": imgs, "intr": intr, "extr": extr, "save_dir": save_dir}
