@@ -327,3 +327,65 @@ class TestSlottedTraining:
         slot_set = {(int(r), int(s)) for r, s, v in zip(
             g_slot["recv"], g_slot["send"], g_slot["edge_valid"]) if v}
         assert row_set == slot_set
+
+
+class TestTrainChunkModes:
+    """Fused K-step train chunk (device-resident dataset): 'matmul' and
+    'slotted' aggregation must both run under the CPU mesh and produce
+    closely matching loss trajectories (same math, different layout)."""
+
+    def test_chunk_modes_agree(self):
+        import types
+        import optax
+        from adaptigraph_tpu.dynamics.train import make_train_chunk
+        from adaptigraph_tpu.ops import build_edges_slotted
+        from adaptigraph_tpu.parallel.mesh import make_mesh, replicate
+
+        e, t_max, n_raw, n_eef = 2, 10, 40, 1
+        rng = np.random.RandomState(0)
+        common = {
+            "obj": jnp.asarray(rng.randn(e, t_max, n_raw, 3).astype(np.float32) * 0.3),
+            "eef": jnp.asarray(rng.randn(e, t_max, n_eef, 3).astype(np.float32) * 0.3),
+            "nobj": jnp.full((e,), n_raw, jnp.int32),
+            "phys": jnp.full((e, 1), 0.5, jnp.float32),
+        }
+        n_his, n_future, t_w = 4, 3, 7
+        rows = [[epi] + list(range(t0, t0 + t_w))
+                for epi in range(e) for t0 in range(t_max - t_w)]
+        pairs = jnp.asarray(np.array(rows, np.int32))
+        ds = types.SimpleNamespace(
+            n_his=n_his, n_future=n_future, max_nobj=24, max_nR=240,
+            fps_radius_range=(0.05, 0.1), adj_radius_range=(0.6, 0.6),
+            topk=6, connect_tool_all=False, state_noise=0.0,
+            phys_noise=0.0, augment=False)
+        K, B = 2, 8
+        idxs = jnp.asarray(
+            np.random.RandomState(1).randint(0, len(rows), (K, B)), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        mesh = make_mesh()
+
+        losses = {}
+        for mode in ("matmul", "slotted"):
+            cfg = ModelConfig(n_his=n_his, nf=16, pstep=2, aggregation=mode)
+            model = DynamicsPredictor(cfg)
+            n = ds.max_nobj + n_eef
+            st = jnp.zeros((n_his, n, 3))
+            es = build_edges_slotted(st[-1], 0.6, jnp.ones(n, bool),
+                                     jnp.zeros(n, bool).at[ds.max_nobj:].set(True),
+                                     topk=ds.topk)
+            params = model.init(jax.random.PRNGKey(1), st, jnp.zeros((n, 2)),
+                                es.receivers, es.senders, es.valid,
+                                jnp.ones((ds.max_nobj, 1)), jnp.array([0.5]),
+                                action=jnp.zeros((n, 3)))["params"]
+            opt = optax.adam(1e-3)
+            chunk, _ = make_train_chunk(model, n_future, opt, ds, common,
+                                        pairs, mesh)
+            p = replicate(params, mesh)
+            o = replicate(opt.init(params), mesh)
+            _, _, ls = chunk(p, o, idxs, key)
+            losses[mode] = np.asarray(ls)
+
+        # same edge SET, different layout: loss trajectories must agree to
+        # float tolerance (augment/noise off, same PRNG stream)
+        np.testing.assert_allclose(losses["matmul"], losses["slotted"],
+                                   rtol=2e-3, atol=2e-4)
