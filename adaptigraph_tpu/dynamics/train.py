@@ -238,9 +238,13 @@ def save_checkpoint(ckpt_dir, name, params, opt_state=None):
 
 
 def load_checkpoint(ckpt_dir, name, params_like):
+    """name='best' falls back to 'latest' (the best-valid checkpoint only
+    exists once a validation epoch has improved — see train())."""
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(ckpt_dir), name)
+    if name == "best" and not os.path.isdir(path):
+        path = os.path.join(os.path.abspath(ckpt_dir), "latest")
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path, {"params": params_like})
     return restored["params"]
@@ -365,6 +369,13 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
         if (ep < 100 and ep % 10 == 0) or ep % 100 == 0:
             save_checkpoint(ckpt_dir, f"model_{ep}", params)
         save_checkpoint(ckpt_dir, "latest", params, opt_state)
+        # best-valid checkpoint: campaign datasets are far smaller than the
+        # reference's 1000 episodes, so long budgets overfit — rollout/
+        # planning prefer 'best' when present (the reference rolls out a
+        # fixed epoch, train.py:127-130; with small data best-valid is the
+        # faithful analogue of picking a good epoch)
+        if history.get("valid") and history["valid"][-1] == min(history["valid"]):
+            save_checkpoint(ckpt_dir, "best", params)
         import json as _json
 
         with open(os.path.join(out_dir, "train_state.json"), "w") as f:

@@ -84,7 +84,7 @@ class SimPlanEnv:
 
 
 def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=None,
-         n_update_iter=2, ckpt="latest", resume=False, seed=0,
+         n_update_iter=2, ckpt="best", resume=False, seed=0,
          reward_mode="target"):
     os.makedirs(save_dir, exist_ok=True)
     tc = task_config
@@ -278,7 +278,7 @@ def main():
     ap.add_argument("--n-actions", type=int, default=None)
     ap.add_argument("--n-sample", type=int, default=None)
     ap.add_argument("--name", type=str, default="dump/plan")
-    ap.add_argument("--ckpt", type=str, default="latest")
+    ap.add_argument("--ckpt", type=str, default="best")
     ap.add_argument("--capture-goal", type=str, default=None, metavar="OUT_NPY",
                     help="capture the target pcd from live frames and exit "
                          "(reference construct_goal_from_perception)")
