@@ -557,7 +557,14 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
             contact_mode = "dense" if n <= 2048 else "block"
     interpret = jax.default_backend() == "cpu"
     rest_filter = True if rest_filter is None else rest_filter
-    tj = contact_tile_j or _TILE
+    # auto tile width: at 32k rows the 128-wide sweep needs >64 column
+    # blocks per row tile for dense piles (a central granule touches ~10
+    # neighbors x ~8 tiles each), but (nb, maxb) SMEM at 256x128 blows the
+    # ~64 KB budget — coarsen to 256-wide tiles instead: half the blocks
+    # needed, nb halves, maxb can stay 128 (parity: tests/test_pallas_kernels
+    # tile_j=256). Overflowing blocks are a HARD failure since the guard
+    # folds overflow into the explosion indicator.
+    tj = contact_tile_j or (256 if n > 16384 else _TILE)
     nbr_idx = eligible = share = blocks = tables = None
     overflow = jnp.int32(0)
     if contact_mode == "block":
