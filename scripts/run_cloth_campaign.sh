@@ -38,6 +38,24 @@ run_watched() {
   wait "$pid"
 }
 
+# retry granular episodes left settle-only by the 32k contact-overflow bug
+# (fixed in engine/solver.py: auto tile_j=256 above 16k rows) — bounded so
+# cloth still gets its window
+if [ "${GRAN_RETRY:-1}" = "1" ]; then
+  retried=0
+  for d in data/sim_data/granular/0003*; do
+    [ -d "$d" ] || continue
+    have=$(ls "$d" | grep -c '\.h5$')
+    if [ "$have" -le 1 ] && [ "$retried" -lt 4 ]; then
+      epi=$((10#$(basename "$d")))
+      echo "[cloth-pre] retry settle-only granular $epi $(date)" >> "$LOG"
+      timeout 1500 python scripts/gen_granular_seq.py "$epi" 1 \
+        >> /tmp/gran_seq.log 2>&1
+      retried=$((retried + 1))
+    fi
+  done
+fi
+
 N=${CLOTH_N:-8}
 BATCH=4
 base=${CLOTH_BASE:-420}
