@@ -255,6 +255,9 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
         ppm.log_interaction(i, act, state_cur[:nobj], state_pred[:nobj], state_real)
         err_fin = float(error_fn(jnp.asarray(state_real)[None])[0])
         stats.append((i, reward, err_fin))
+        # incremental save: a timeout/watchdog kill mid-run still leaves the
+        # acceptance artifact for the actions that completed
+        np.savetxt(os.path.join(save_dir, "stats.txt"), np.asarray(stats))
         print(f"action {i}: final error {err_fin:.4f}", flush=True)
 
         if use_ppo:
