@@ -144,6 +144,90 @@ def cloth_vertex_normals(pos, dimx: int, dimz: int):
     return out.at[: dimx * dimz].set(n.reshape(-1, 3))
 
 
+def _cloth_grid_faces(dimx: int, dimz: int):
+    """Triangle index array (T, 3) for the dimz x dimx row-major cloth grid
+    (build_cloth's gid = z * dimx + x): two triangles per quad, the same
+    topology the reference's mesh path draws (by_softgym_cloth.h
+    render_mode=2 builds the spring grid into a GL triangle mesh). Host-side
+    numpy — dims are static."""
+    import numpy as np
+    z, x = np.meshgrid(np.arange(dimz - 1), np.arange(dimx - 1), indexing="ij")
+    v00 = (z * dimx + x).ravel()
+    v01 = v00 + 1
+    v10 = v00 + dimx
+    v11 = v10 + 1
+    tris = np.concatenate([
+        np.stack([v00, v10, v01], axis=-1),
+        np.stack([v01, v10, v11], axis=-1)], axis=0)
+    return tris.astype(np.int32)
+
+
+_MESH_TILE = 8  # rasterization tile half-quad triangles fit into (pixels)
+
+
+def _cloth_mesh_fragments(pos, base_colors, faces, rot, cam_pos, intrinsics,
+                          width: int, height: int):
+    """Rasterize the cloth triangle mesh into z-buffer fragments.
+
+    TPU-native replacement for the reference's shaded-mesh cloth rendering
+    (by_softgym_cloth.h render_mode=2 + opengl/shadersGL.cpp): instead of a
+    GL raster pipeline, each triangle tests a fixed _MESH_TILE^2 pixel tile
+    anchored at its screen bbox corner — barycentric inside test, linear
+    screen-space z, two-sided Lambert face shading — and the fragments merge
+    into render_frame's scatter-min z-buffer alongside the particle splats
+    (which remain as hole-fill for triangles larger than the tile, e.g.
+    extreme close-ups). Returns (pix, z, col, ok): (T*K,), (T*K,), (T*K, 3),
+    (T*K,) arrays ready to concatenate with the splat fragment list."""
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    tv = pos[faces]                       # (T, 3, 3) world verts
+    tcol = jnp.mean(base_colors[faces], axis=1)  # (T, 3)
+
+    p_cam = (tv - cam_pos) @ rot.T
+    z = -p_cam[..., 2]                    # (T, 3)
+    valid = jnp.all(z > 0.01, axis=-1)
+    zs = jnp.maximum(z, 1e-6)
+    u = p_cam[..., 0] * fx / zs + cx      # (T, 3)
+    v = -p_cam[..., 1] * fy / zs + cy
+
+    # face normal -> two-sided Lambert (a sheet lights from either side)
+    n = jnp.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+    lam = jnp.abs(n @ (_LIGHT / jnp.linalg.norm(_LIGHT)))
+    shade = (0.35 + 0.65 * lam)[:, None] * tcol   # (T, 3)
+
+    # tile anchored at the bbox min pixel
+    u0 = jnp.floor(jnp.min(u, axis=-1))   # (T,)
+    v0 = jnp.floor(jnp.min(v, axis=-1))
+    offs = jnp.arange(_MESH_TILE, dtype=jnp.float32)
+    du, dv = jnp.meshgrid(offs, offs, indexing="ij")
+    du, dv = du.ravel(), dv.ravel()       # (K,)
+    px = u0[:, None] + du[None, :] + 0.5  # pixel centers, (T, K)
+    py = v0[:, None] + dv[None, :] + 0.5
+
+    def edge(ax, ay, bx, by, px, py):
+        return (bx - ax)[:, None] * (py - ay[:, None]) \
+            - (by - ay)[:, None] * (px - ax[:, None])
+
+    w0 = edge(u[:, 1], v[:, 1], u[:, 2], v[:, 2], px, py)
+    w1 = edge(u[:, 2], v[:, 2], u[:, 0], v[:, 0], px, py)
+    w2 = edge(u[:, 0], v[:, 0], u[:, 1], v[:, 1], px, py)
+    area = w0 + w1 + w2                   # 2x signed area, (T, K) constant per T
+    denom = jnp.where(jnp.abs(area) < 1e-9, 1e-9, area)
+    b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+    inside = (b0 >= -1e-6) & (b1 >= -1e-6) & (b2 >= -1e-6) \
+        & (jnp.abs(area) > 1e-9)
+    zf = b0 * z[:, 0:1] + b1 * z[:, 1:2] + b2 * z[:, 2:3]  # (T, K)
+
+    ipx = jnp.round(px - 0.5).astype(jnp.int32)
+    ipy = jnp.round(py - 0.5).astype(jnp.int32)
+    in_img = (ipx >= 0) & (ipx < width) & (ipy >= 0) & (ipy < height)
+    ok = inside & in_img & valid[:, None] & (zf > 0.01)
+    pix = jnp.where(ok, ipy * width + ipx, 0)
+    zfrag = jnp.where(ok, zf, _FAR)
+    col = jnp.broadcast_to(shade[:, None, :], pix.shape + (3,))
+    return (pix.ravel(), zfrag.ravel(), col.reshape(-1, 3), ok.ravel())
+
+
 def _ray_plane(ro, rd):
     t = -ro[..., 1] / jnp.where(jnp.abs(rd[..., 1]) < 1e-9, 1e-9, rd[..., 1])
     t = jnp.where(t > 0, t, _FAR)
@@ -209,9 +293,10 @@ def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
       intrinsics: (4,) [fx, fy, cx, cy].
       splat_px: half-extent of the particle splat neighborhood in pixels.
       cloth_dims: optional static (dimx, dimz) — the particles form a cloth
-        grid; splats are Lambert-shaded by per-vertex grid normals (surfel
-        rendering, the splat analogue of by_softgym_cloth.h render_mode=2's
-        shaded mesh).
+        grid. The grid is rasterized as a true shaded triangle mesh (the
+        TPU analogue of by_softgym_cloth.h render_mode=2 + shadersGL.cpp)
+        via _cloth_mesh_fragments; the Lambert-shaded particle splats stay
+        on as hole-fill for triangles exceeding the raster tile.
 
     Returns: (H, W, 5) float32 — RGB in [0,1], alpha, metric depth (0 = bg).
     """
@@ -281,6 +366,7 @@ def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
     color = jnp.where(hit_mask[..., None], _SHAPE_COLOR * shade[..., None], _BG)
 
     # ---- particle splat ----
+    base_colors = colors
     if cloth_dims is not None:
         dimx, dimz = cloth_dims
         vn = cloth_vertex_normals(pos, dimx, dimz)
@@ -305,16 +391,30 @@ def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
     ok = vis[:, None] & in_disc & in_img
     pix = jnp.where(ok, pv * width + pu, 0)
     zsplat = jnp.where(ok, jnp.broadcast_to(z[:, None], pix.shape), _FAR)
+    pcol = jnp.broadcast_to(colors[:, None, :], pix.shape + (3,))
+
+    frag_pix = pix.ravel()
+    frag_z = zsplat.ravel()
+    frag_col = pcol.reshape(-1, 3)
+    frag_ok = ok.ravel()
+    if cloth_dims is not None:
+        # mesh fragments join the same z-buffer; splats remain as hole-fill
+        faces = jnp.asarray(_cloth_grid_faces(*cloth_dims))
+        mpix, mz, mcol, mok = _cloth_mesh_fragments(
+            pos, base_colors, faces, rot, cam_pos, intrinsics, width, height)
+        frag_pix = jnp.concatenate([frag_pix, mpix])
+        frag_z = jnp.concatenate([frag_z, mz])
+        frag_col = jnp.concatenate([frag_col, mcol])
+        frag_ok = jnp.concatenate([frag_ok, mok])
 
     zbuf_shape = jnp.where(hit_mask, t_hit, _FAR).ravel()
-    zbuf = zbuf_shape.at[pix.ravel()].min(zsplat.ravel())
-    # second pass: particles whose depth won write their color; losers are
+    zbuf = zbuf_shape.at[frag_pix].min(frag_z)
+    # second pass: fragments whose depth won write their color; losers are
     # routed to a dummy slot past the image
-    own = (zsplat <= zbuf[pix] + 1e-6) & ok
-    pix_safe = jnp.where(own, pix, width * height)
-    pcol = jnp.broadcast_to(colors[:, None, :], pix.shape + (3,))
+    own = (frag_z <= zbuf[frag_pix] + 1e-6) & frag_ok
+    pix_safe = jnp.where(own, frag_pix, width * height)
     buf = jnp.concatenate([color.reshape(-1, 3), jnp.zeros((1, 3), dtype=color.dtype)], 0)
-    buf = buf.at[pix_safe.ravel()].set(pcol.reshape(-1, 3))
+    buf = buf.at[pix_safe].set(frag_col)
     depth = jnp.where(zbuf < _FAR, zbuf, 0.0).reshape(height, width)
     img = buf[: width * height].reshape(height, width, 3)
     alpha = jnp.ones((height, width, 1), dtype=jnp.float32)
