@@ -239,7 +239,7 @@ class SimEnv:
         self.rest_filter = bool(
             np.any(np.asarray(b.state.particles.self_collide)[: b.n_active]))
         self.props = b.props
-        # static (dimx, dimz) for surfel-shaded cloth splats (render.py)
+        # static (dimx, dimz) for shaded-mesh cloth rendering (render.py)
         self._cloth_dims = ((int(b.scene["dimx"]), int(b.scene["dimz"]))
                             if self.obj == "cloth" and "dimx" in b.scene else None)
         self.colors = np.tile(_PARTICLE_COLORS[self.obj][None], (caps.n, 1))

@@ -165,6 +165,15 @@ def _cloth_grid_faces(dimx: int, dimz: int):
 _MESH_TILE = 8  # rasterization tile half-quad triangles fit into (pixels)
 
 
+def _mesh_enabled() -> bool:
+    """Escape hatch: ADAPTIGRAPH_CLOTH_MESH=0 drops the mesh fragments and
+    keeps the r2 surfel-shaded splats (the mesh raster grows the z-buffer
+    scatter ~6x for cloth; the remote TPU worker has a history of hanging
+    on outsized programs — CLAUDE.md). Read at trace time."""
+    import os
+    return os.environ.get("ADAPTIGRAPH_CLOTH_MESH", "1") != "0"
+
+
 def _cloth_mesh_fragments(pos, base_colors, faces, rot, cam_pos, intrinsics,
                           width: int, height: int):
     """Rasterize the cloth triangle mesh into z-buffer fragments.
@@ -397,7 +406,7 @@ def render_frame(pos, colors, active, shapes: ShapeSet, cam_pos, cam_angle_fwd,
     frag_z = zsplat.ravel()
     frag_col = pcol.reshape(-1, 3)
     frag_ok = ok.ravel()
-    if cloth_dims is not None:
+    if cloth_dims is not None and _mesh_enabled():
         # mesh fragments join the same z-buffer; splats remain as hole-fill
         faces = jnp.asarray(_cloth_grid_faces(*cloth_dims))
         mpix, mz, mcol, mok = _cloth_mesh_fragments(

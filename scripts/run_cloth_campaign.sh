@@ -56,6 +56,20 @@ if [ "${GRAN_RETRY:-1}" = "1" ]; then
   done
 fi
 
+# smoke the new shaded-mesh cloth render path on the real chip before
+# committing the campaign window to it; on any failure fall back to the
+# r2 surfel-splat renderer (ADAPTIGRAPH_CLOTH_MESH=0) so a Mosaic/memory
+# surprise cannot sink the cloth data window
+echo "[cloth] mesh-render smoke $(date)" >> "$LOG"
+if run_watched timeout 900 python scripts/smoke_cloth_mesh_tpu.py \
+     >> /tmp/cloth_mesh_smoke.log 2>&1; then
+  echo "[cloth] mesh render OK $(date)" >> "$LOG"
+else
+  echo "[cloth] mesh render smoke FAILED; falling back to splats $(date)" >> "$LOG"
+  export ADAPTIGRAPH_CLOTH_MESH=0
+  bash scripts/tpu_watch.sh >> "$LOG" 2>&1
+fi
+
 N=${CLOTH_N:-8}
 BATCH=4
 base=${CLOTH_BASE:-420}
