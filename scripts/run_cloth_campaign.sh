@@ -73,12 +73,28 @@ fi
 N=${CLOTH_N:-8}
 BATCH=4
 base=${CLOTH_BASE:-420}
+first=1
 for lo in $(seq "$base" "$BATCH" $((base + N - 1))); do
   echo "[cloth] batch base $lo start $(date)" >> "$LOG"
   run_watched timeout 4500 python -m adaptigraph_tpu.sim.batch_env \
     --config data_gen/cloth --n-episode "$BATCH" --batch "$BATCH" \
     --base "$lo" --out data/sim_data >> /tmp/cloth_batch.log 2>&1
-  echo "[cloth] batch base $lo rc=$? $(date)" >> "$LOG"
+  rc=$?
+  echo "[cloth] batch base $lo rc=$rc $(date)" >> "$LOG"
+  if [ "$first" = 1 ] && [ "$rc" -ne 0 ] && \
+     [ "${ADAPTIGRAPH_CLOTH_MESH:-1}" != "0" ]; then
+    # single-env smoke passed but the vmapped batch program may still be
+    # the straw that breaks the remote worker — drop to splats and retry
+    # this batch once (episodes resume from their checkpoints)
+    echo "[cloth] first batch failed; retrying with splat renderer $(date)" >> "$LOG"
+    export ADAPTIGRAPH_CLOTH_MESH=0
+    bash scripts/tpu_watch.sh >> "$LOG" 2>&1
+    run_watched timeout 4500 python -m adaptigraph_tpu.sim.batch_env \
+      --config data_gen/cloth --n-episode "$BATCH" --batch "$BATCH" \
+      --base "$lo" --out data/sim_data >> /tmp/cloth_batch.log 2>&1
+    echo "[cloth] splat retry base $lo rc=$? $(date)" >> "$LOG"
+  fi
+  first=0
   bash scripts/tpu_watch.sh >> "$LOG" 2>&1
 done
 echo "[cloth] DONE $(date)" >> "$LOG"
