@@ -53,7 +53,10 @@ class ModelConfig:
     # segment_sum (lower memory at much larger graphs); 'slotted': edges MUST
     # come from ops.build_edges_slotted (slot row i belongs to receiver i) —
     # receiver gathers become broadcasts and aggregation a free sum over the
-    # slot axis, leaving one sender take per pstep (no scatter, no one-hots).
+    # slot axis, leaving one sender take per pstep (no scatter, no one-hots);
+    # 'slotmm': slotted layout, but the remaining sender take is ALSO an
+    # MXU one-hot matmul (TPU gathers are latency-bound at these sizes, a
+    # 1010x101 one-hot GEMM is ~30 MFLOP of pure MXU work).
     # All modes share identical parameters: checkpoints are interchangeable.
     aggregation: str = "matmul"
 
@@ -161,11 +164,12 @@ class DynamicsPredictor(nn.Module):
 
             def aggregate(e):
                 return rr.T @ e
-        elif cfg.aggregation == "slotted":
+        elif cfg.aggregation in ("slotted", "slotmm"):
             # slotted edge layout (ops.build_edges_slotted): slot row i holds
             # receiver i's candidates, so receiver-side values broadcast and
             # the receiver aggregation is a slot-axis sum — no scatter, no
-            # (E, N) one-hots; the sender take is the only real gather.
+            # (E, N) one-hots; the sender take is the only real gather
+            # ('slotted': index take; 'slotmm': one-hot MXU matmul).
             # Invalid slots are masked by `ev` exactly as in the other modes.
             n_edges = recv.shape[0]
             assert n_edges % n == 0, (
@@ -177,8 +181,14 @@ class DynamicsPredictor(nn.Module):
                 return jnp.broadcast_to(
                     x[:, None, :], (n, s, x.shape[-1])).reshape(n_edges, -1)
 
-            def gather_s(x):
-                return x[send]
+            if cfg.aggregation == "slotmm":
+                rs = jax.nn.one_hot(send, n, dtype=dt)  # (E, N)
+
+                def gather_s(x):
+                    return rs @ x
+            else:
+                def gather_s(x):
+                    return x[send]
 
             def aggregate(e):
                 return e.reshape(n, s, -1).sum(axis=1)
@@ -237,18 +247,29 @@ def model_config_from_yaml(model_cfg: Dict, dataset_cfg: Dict, phys_dim: int) ->
 
     `aggregation` may be set in the model yaml block or overridden with
     ADAPTIGRAPH_GNN_AGG (modes share parameters, so checkpoints are
-    interchangeable). 'slotted' requires slot-layout edges; the trainer,
-    rollout evaluator and planner all switch their edge builders to
-    build_edges_slotted automatically when the model is in this mode
+    interchangeable). 'slotted'/'slotmm' require slot-layout edges; the
+    trainer, rollout evaluator and planner all switch their edge builders to
+    build_edges_slotted automatically when the model is in one of these modes
     (dataset._prepare_one(slotted=True), rollout.construct_graph/
     make_rollout_step, planning.forward_dynamics).
+
+    `compute_dtype` may be overridden with ADAPTIGRAPH_GNN_DTYPE
+    (f32|bf16). Parameters always stay float32 (flax Dense `dtype` only
+    selects the computation dtype); bf16 runs the MLP stack on the MXU's
+    native input type and halves activation HBM traffic — intended for
+    inference (planning rollouts), where prediction deviation vs f32 is
+    bounded by tests/test_model_modes.py. Training defaults to f32.
     """
     import os
 
     agg = os.environ.get("ADAPTIGRAPH_GNN_AGG",
                          model_cfg.get("aggregation", "matmul"))
+    dt_name = os.environ.get("ADAPTIGRAPH_GNN_DTYPE",
+                             model_cfg.get("compute_dtype", "f32"))
+    dtype = jnp.bfloat16 if dt_name in ("bf16", "bfloat16") else jnp.float32
     return ModelConfig(
         aggregation=agg,
+        compute_dtype=dtype,
         n_his=int(dataset_cfg["n_his"]),
         nf=int(model_cfg.get("nf_effect", 150)),
         pstep=int(model_cfg.get("pstep", 3)),

@@ -121,7 +121,7 @@ def make_rollout_step(model, dataset_config):
     topk = int(ds["topk"])
     cta = bool(ds["connect_tool_all"])
     max_nR = int(ds["max_nR"])
-    slotted = model.cfg.aggregation == "slotted"
+    slotted = model.cfg.aggregation in ("slotted", "slotmm")
     apply = make_apply(model)
 
     @jax.jit
@@ -263,7 +263,7 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
             pair = pairs[0]
             graph, fps_idx = construct_graph(
                 dataset_config, eef_pos, obj_pos, n_his, pair, physics, rng,
-                slotted=(model.cfg.aggregation == "slotted"))
+                slotted=(model.cfg.aggregation in ("slotted", "slotmm")))
             viz_ctx = None
             if viz:
                 viz_ctx = _make_viz_ctx(dataset_config, name, pi, out_dir)

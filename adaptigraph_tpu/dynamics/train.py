@@ -162,7 +162,7 @@ def make_train_chunk(model, n_future: int, optimizer, dataset: DynDataset,
         connect_tool_all=dataset.connect_tool_all,
         state_noise=dataset.state_noise, phys_noise=dataset.phys_noise,
         augment=dataset.augment,
-        slotted=(model.cfg.aggregation == "slotted"))
+        slotted=(model.cfg.aggregation in ("slotted", "slotmm")))
     from adaptigraph_tpu.dynamics.dataset import _prepare_one
 
     one = partial(_prepare_one, **kwargs)
@@ -214,7 +214,7 @@ def init_model(config, dataset: DynDataset):
                                 dataset.phys_dim)
     model = DynamicsPredictor(mc)
     raw = dataset.raw_batch(np.arange(1))
-    prep = make_prepare_fn(dataset, slotted=(mc.aggregation == "slotted"))
+    prep = make_prepare_fn(dataset, slotted=(mc.aggregation in ("slotted", "slotmm")))
     g = prep(raw, jax.random.PRNGKey(0))
     g1 = jax.tree.map(lambda x: x[0], g)
     params = model.init(
@@ -267,7 +267,7 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
                 for p in train_config.get("phases", ["train", "valid"])}
 
     model, params = init_model(config, datasets["train"])
-    slotted = model.cfg.aggregation == "slotted"
+    slotted = model.cfg.aggregation in ("slotted", "slotmm")
     preps = {p: make_prepare_fn(d, slotted=slotted) for p, d in datasets.items()}
     # lr from config (train_config.lr, reference default 1e-3 — the
     # reference hardcodes it at train.py:63 but its config advertises it)

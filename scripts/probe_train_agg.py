@@ -62,7 +62,8 @@ def main():
     mesh = make_mesh()
 
     times = {}
-    for mode in ("matmul", "slotted"):
+    for mode in ("matmul", "slotted", "slotmm"):
+      try:
         cfg = ModelConfig(n_his=n_his, nf=150, pstep=3, aggregation=mode)
         model = DynamicsPredictor(cfg)
         # init params via a tiny graph of the right dims
@@ -89,10 +90,14 @@ def main():
             float(jnp.sum(losses))
         times[mode] = (time.time() - t0) / reps
         print(f"{mode}: {times[mode]:.3f}s per {K}-step chunk", flush=True)
+      except Exception as exc:  # noqa: broad — one bad mode must not sink the probe
+        print(f"{mode}: FAILED ({exc})", flush=True)
 
+    if not times:
+        raise RuntimeError("all aggregation modes failed")
     winner = min(times, key=times.get)
-    print(f"AGG_WINNER={winner} {times['matmul']:.3f} {times['slotted']:.3f}",
-          flush=True)
+    print("AGG_WINNER=%s %s" % (winner, " ".join(
+        f"{m}={t:.3f}" for m, t in times.items())), flush=True)
 
 
 if __name__ == "__main__":

@@ -228,7 +228,7 @@ class TestAggregationModes:
 
         outs = {}
         params = None
-        for mode in ("segment", "matmul", "slotted"):
+        for mode in ("segment", "matmul", "slotted", "slotmm"):
             cfg = ModelConfig(n_his=n_his, nf=32, pstep=2, aggregation=mode)
             model = DynamicsPredictor(cfg)
             if params is None:
@@ -240,6 +240,43 @@ class TestAggregationModes:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(outs["segment"], outs["matmul"],
                                    rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(outs["segment"], outs["slotmm"],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_bf16_prediction_close_to_f32(self):
+        """bf16 compute (ADAPTIGRAPH_GNN_DTYPE=bf16, params stay f32) must
+        stay within a small fraction of the motion scale of the f32 path —
+        the acceptance bound behind bench.py's bf16 serving configuration."""
+        from adaptigraph_tpu.ops import build_edges_slotted
+
+        n_obj, n_eef, n_his = 40, 1, 4
+        n = n_obj + n_eef
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        state = jax.random.normal(k1, (n_his, n, 3)) * 0.3
+        attrs = jnp.zeros((n, 2)).at[:n_obj, 0].set(1.0).at[n_obj:, 1].set(1.0)
+        sm = jnp.ones(n, bool)
+        em = jnp.zeros(n, bool).at[n_obj:].set(True)
+        e = build_edges_slotted(state[-1], 1.0, sm, em, topk=6)
+        action = jnp.zeros((n, 3)).at[n_obj:].set(
+            jax.random.normal(k2, (n_eef, 3)) * 0.1)
+        args = (state, attrs, e.receivers, e.senders, e.valid,
+                jnp.ones((n_obj, 1)), jnp.array([0.5]))
+
+        cfg32 = ModelConfig(n_his=n_his, nf=150, pstep=3, aggregation="slotted")
+        model32 = DynamicsPredictor(cfg32)
+        params = model32.init(jax.random.PRNGKey(1), *args,
+                              action=action)["params"]
+        _, mo32 = model32.apply({"params": params}, *args, action=action)
+        cfg16 = ModelConfig(n_his=n_his, nf=150, pstep=3,
+                            aggregation="slotted",
+                            compute_dtype=jnp.bfloat16)
+        _, mo16 = DynamicsPredictor(cfg16).apply({"params": params}, *args,
+                                                 action=action)
+        scale = float(jnp.abs(mo32).max()) + 1e-6
+        dev = float(jnp.abs(mo16 - mo32).max())
+        # bf16 has ~3 significant digits; through 3 propagation rounds the
+        # deviation stays a few percent of the predicted motion scale
+        assert dev / scale < 0.08, (dev, scale)
 
     def test_slotted_rejects_non_multiple_edge_count(self):
         g = _toy_graph(jax.random.PRNGKey(0), max_nR=97)
