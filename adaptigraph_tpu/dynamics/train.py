@@ -270,8 +270,19 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
     slotted = model.cfg.aggregation in ("slotted", "slotmm")
     preps = {p: make_prepare_fn(d, slotted=slotted) for p, d in datasets.items()}
     # lr from config (train_config.lr, reference default 1e-3 — the
-    # reference hardcodes it at train.py:63 but its config advertises it)
-    optimizer = optax.adam(float(train_config.get("lr", 1e-3)))
+    # reference hardcodes it at train.py:63 but its config advertises it).
+    # train_config.lr_schedule == 'cosine' decays it over the whole budget
+    # (cosine to 5% of peak) — not in the reference (fixed lr,
+    # train.py:63), but a strictly-better final loss at the fused-chunk
+    # budgets the TPU trainings run; default (absent) keeps fixed lr.
+    lr = float(train_config.get("lr", 1e-3))
+    n_epochs = epochs if epochs is not None else int(train_config["n_epochs"])
+    if train_config.get("lr_schedule") == "cosine":
+        it_train = iters if iters is not None else int(
+            train_config["n_iters_per_epoch"]["train"])
+        lr = optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=max(1, n_epochs * it_train), alpha=0.05)
+    optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     n_future = int(dataset_config["n_future"])
     train_step, eval_step = make_train_step(model, n_future, optimizer)
@@ -281,7 +292,6 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
     opt_state = replicate(opt_state, mesh)
 
     b = batch_size or int(train_config["batch_size"])
-    n_epochs = epochs if epochs is not None else int(train_config["n_epochs"])
     rng = np.random.RandomState(train_config.get("random_seed", 42))
     key = jax.random.PRNGKey(train_config.get("random_seed", 42))
 
@@ -309,8 +319,15 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
             ckptr = ocp.StandardCheckpointer()
             params = ckptr.restore(latest, {"params": params})["params"]
             if os.path.isdir(latest + "_optim"):
-                opt_state = ckptr.restore(
-                    latest + "_optim", {"opt_state": opt_state})["opt_state"]
+                try:
+                    opt_state = ckptr.restore(
+                        latest + "_optim", {"opt_state": opt_state})["opt_state"]
+                except Exception as exc:  # noqa: broad — structure change
+                    # e.g. a checkpoint written under a different lr_schedule
+                    # setting (plain adam vs scheduled adam have different
+                    # optimizer pytrees) — warm-start params, fresh optimizer
+                    print(f"opt_state restore failed ({exc}); "
+                          "keeping fresh optimizer state", flush=True)
             with open(meta_p) as f:
                 epoch0 = int(json.load(f)["epoch"])
             for phase in history:

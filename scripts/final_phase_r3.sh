@@ -23,7 +23,7 @@ rm -rf data/preprocess/rope data/preprocess/granular data/preprocess/cloth
 # chunks are mathematically identical; the winner carries through training,
 # rollout eval and planning via ADAPTIGRAPH_GNN_AGG)
 echo "[final] aggregation probe $(date)" >> $LOG
-timeout 1200 python scripts/probe_train_agg.py > /tmp/probe_agg.log 2>&1
+timeout 1500 python scripts/probe_train_agg.py > /tmp/probe_agg.log 2>&1
 AGG=$(grep -o 'AGG_WINNER=[a-z]*' /tmp/probe_agg.log | tail -1 | cut -d= -f2)
 export ADAPTIGRAPH_GNN_AGG=${AGG:-matmul}
 echo "[final] aggregation mode: $ADAPTIGRAPH_GNN_AGG $(date)" >> $LOG
@@ -36,7 +36,7 @@ echo "[final] frame-part profile rc=$? $(date)" >> $LOG
 cp /tmp/frame_parts_r3.log data/frame_parts_r3.log 2>/dev/null
 
 TRAIN_END=$((HARD_END - 7200))
-PLAN_END=$((HARD_END - 1800))
+PLAN_END=$((HARD_END - 2400))
 
 # chunked device-resident training (train.py steps_per_call) makes a
 # reference-comparable budget affordable: 40 epochs x 500 iters x batch 128
@@ -83,6 +83,6 @@ for MAT in rope granular; do
 done
 
 echo "[final] bench $(date)" >> $LOG
-timeout 1800 python bench.py >> /tmp/final_bench.log 2>&1
+timeout 2300 python bench.py >> /tmp/final_bench.log 2>&1
 echo "[final] bench rc=$? $(date)" >> $LOG
 echo "[final] DONE $(date)" >> $LOG

@@ -23,6 +23,9 @@ _eps = [d for d in _glob.glob(f'/root/repo/data/sim_data/{MATERIAL}/0*') if len(
 if len(_eps) < 4:
     cfg['dataset_config']['ratio'] = {'train': [0, 1], 'valid': [0, 1]}
 cfg['train_config']['out_dir'] = '/root/repo/data/log'
+# cosine decay over the full budget (train.py lr_schedule; better final
+# loss than the reference's fixed 1e-3 at this 20k-step budget)
+cfg['train_config']['lr_schedule'] = 'cosine'
 cfg['rollout_config']['out_dir'] = '/root/repo/data/rollout'
 
 t0 = time.time()

@@ -193,6 +193,27 @@ class TestPreprocessTrainRollout:
         _, h = train(cfg, epochs=3, resume=True)
         assert len(h["train"]) == 3
 
+    def test_train_cosine_schedule_and_optstate_fallback(self, mini_world):
+        """lr_schedule='cosine' trains, and resuming a plain-adam checkpoint
+        under the scheduled optimizer (different opt_state pytree) must
+        warm-start params with a FRESH optimizer instead of crashing."""
+        import copy
+
+        from adaptigraph_tpu.dynamics.train import train
+
+        cfg = copy.deepcopy(mini_world["dyn_cfg"])
+        prep = os.path.join(str(mini_world["root"]), "prep", "rope")
+        if not os.path.exists(os.path.join(prep, "positions.pkl")):
+            from adaptigraph_tpu.dynamics.preprocess import preprocess
+
+            preprocess(cfg)  # standalone (-k) runs skip test_preprocess
+        cfg["train_config"]["out_dir"] = cfg["train_config"]["out_dir"] + "_cos"
+        train(cfg, epochs=1)  # plain adam checkpoint
+        cfg["train_config"]["lr_schedule"] = "cosine"
+        _, h = train(cfg, epochs=2, resume=True)
+        assert len(h["train"]) == 2
+        assert np.isfinite(h["train"]).all()
+
     def test_train_and_rollout_and_plan(self, mini_world):
         from adaptigraph_tpu.dynamics.train import train
         from adaptigraph_tpu.dynamics.rollout import rollout
