@@ -101,10 +101,19 @@ class TestRenderer:
         # padding rows carry zero normals (neutral shading)
         np.testing.assert_allclose(n[dimx * dimz:], 0.0)
 
-    def test_cloth_surfel_shading_varies_on_draped_grid(self):
+    def test_cloth_surfel_shading_varies_on_draped_grid(self, monkeypatch,
+                                                        request):
         """A draped (non-flat) cloth grid rendered with cloth_dims shows
         shading variation across the sheet; the flat render is uniform.
-        Depth output is unaffected by shading."""
+        Depth output is unaffected by shading. Pinned to the SURFEL path
+        (ADAPTIGRAPH_CLOTH_MESH=0): the triangle-mesh rasterizer additionally
+        fills inter-splat holes, legitimately changing depth on those pixels
+        (covered by tests/test_render_cloth_mesh.py)."""
+        monkeypatch.setenv("ADAPTIGRAPH_CLOTH_MESH", "0")
+        # the env gate is read at trace time: drop cached traces on entry
+        # and again at teardown so neither direction leaks between tests
+        jax.clear_caches()
+        request.addfinalizer(jax.clear_caches)
         rig = CameraRig(96, 96)
         pos, ang = rig.single_view(1)
         from adaptigraph_tpu.sim.env import _fwd_from_angle
