@@ -104,6 +104,87 @@ def main():
     scan_time("bare scatter-add (N,3)", lambda x: jnp.zeros_like(x).at[idx].add(x)
               * 1e-6 + x, pos)
 
+    real_case()
+
+
+def real_case():
+    """Decompose the REAL bench scene (bench.bench_pbd: build_scene rope at
+    5120 particles, ball-cover clusters + global cluster + floor + pusher,
+    2x4 schedule) — the simplified case above has springs only."""
+    from functools import partial
+
+    from adaptigraph_tpu.engine import xpbd_step
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        pack_contact_tables, refine_overlap_blocks_packed, tile_overlap_blocks,
+        update_contact_tables)
+    from adaptigraph_tpu.engine.solver import (
+        _cluster_deltas_matmul, _global_cluster_deltas, _pad_tile,
+        _pad_tile_mask)
+    from adaptigraph_tpu.engine.state import (SHAPE_BOX, SHAPE_PLANE,
+                                              empty_clusters, make_shapes)
+    from adaptigraph_tpu.scenes import build_scene
+    from adaptigraph_tpu.scenes.build import Caps
+
+    print("--- real bench scene (5120-particle rope) ---", flush=True)
+    caps = Caps(n=5120, s=0, c=1024, k=640, m=2)
+    shapes = make_shapes(
+        [SHAPE_PLANE, SHAPE_BOX],
+        [[0, 0, 0], [0.05, 0.4, 0.8]],
+        [[0, 0, 0], [0, 0.4, 0]],
+        [[0, 0, 0, 1], [0, 0, 0, 1]], m_max=caps.m)
+    b = build_scene("rope", np.random.RandomState(0), shapes=shapes,
+                    caps=caps,
+                    scene_overrides={"length": 6.0,
+                                     "translation": np.zeros(3, np.float32),
+                                     "z_rotation": 0.0, "y_rotation": 90.0})
+    st, spec = b.state, b.spec
+    p = st.particles
+    n = p.pos.shape[0]
+    pos = p.pos
+    prm = spec.params
+
+    @partial(jax.jit, static_argnames=("variant",))
+    def frame(stx, variant="full"):
+        sp = spec
+        if variant == "no_clusters":
+            sp = sp._replace(clusters=empty_clusters(0, 0), cluster_mm=None,
+                             cluster_seg=None, cluster_inc=None)
+        elif variant == "no_global":
+            sp = sp._replace(global_rest=jnp.zeros((0, 3)))
+        stx = stx._replace(shapes=stx.shapes.moved_to(stx.shapes.pos,
+                                                      stx.shapes.quat))
+        return xpbd_step(stx, sp, b.substeps, b.iterations,
+                         contact_mode="block")
+
+    for v in ("full", "no_clusters", "no_global"):
+        scan_time(f"REAL frame 2x4 {v}",
+                  lambda stx, v=v: frame(stx, variant=v), st, reps=200)
+
+    # per-frame block-structure build (tables + AABB + refine), as xpbd_step
+    # does it once per frame
+    def block_build(x):
+        tables = pack_contact_tables(x, x, p.group, p.inv_mass,
+                                     p.self_collide, p.active, spec.rest_pos)
+        bi, bc, _ = tile_overlap_blocks(_pad_tile(x), _pad_tile_mask(p.active),
+                                        prm.radius * 1.5, max_blocks=40)
+        bi, bc = refine_overlap_blocks_packed(
+            n, *tables, prm.solid_rest_distance * 1.05,
+            prm.collide_filter_dist, bi, bc)
+        return x + 1e-6 * (bc.astype(jnp.float32).sum())
+
+    scan_time("REAL block build (tables+AABB+refine)", block_build, pos,
+              reps=200)
+    if spec.cluster_mm is not None:
+        scan_time("REAL cluster matmul pass", lambda x: _cluster_deltas_matmul(
+            x, spec.rest_pos, spec.clusters, st.cluster_rot,
+            spec.cluster_mm)[0] * 1e-6 + x, pos)
+    if spec.global_rest.shape[0] > 0:
+        scan_time("REAL global cluster pass",
+                  lambda x: _global_cluster_deltas(
+                      x, p.active, p.inv_mass, spec.global_rest,
+                      spec.global_stiffness, st.global_rot)[0] * 1e-6 + x,
+                  pos)
+
 
 
 if __name__ == "__main__" and "--tiles" not in sys.argv:
