@@ -32,6 +32,9 @@ if [ "${PROFILE:-0}" = "1" ]; then
   timeout 1200 python scripts/bench_frame_parts.py \
     > data/frame_parts_r3s8.log 2>&1
   echo "[s8b] profile rc=$? $(date)" >> $LOG
+  timeout 600 python scripts/bench_frame_parts.py --tiles \
+    >> data/frame_parts_r3s8.log 2>&1
+  echo "[s8b] tile probe rc=$? $(date)" >> $LOG
   bash scripts/tpu_watch.sh >> $LOG 2>&1
 fi
 
