@@ -32,6 +32,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from adaptigraph_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 
 def bench_pbd(n=5120, t=100, trials=3, contact_mode=None):
     """XPBD frames/s at the 5k-particle rope design point — the REAL rope

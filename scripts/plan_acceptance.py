@@ -23,7 +23,9 @@ import time
 sys.path.insert(0, "/root/repo")
 import numpy as np
 
-from adaptigraph_tpu.utils import load_config
+from adaptigraph_tpu.utils import enable_compile_cache, load_config
+
+enable_compile_cache()
 
 MATERIAL = sys.argv[1] if len(sys.argv) > 1 else "rope"
 N_ACTIONS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -64,6 +66,14 @@ true_param = normalize_physics(
     props, dyn["material_config"][MATERIAL]["physics_params"])
 print(f"props: {props}", flush=True)
 print(f"true normalized physics param: {true_param}", flush=True)
+# persist the ground truth immediately: a timeout-killed run still leaves
+# stats.txt (saved incrementally by plan()) + ppo_*.npz, and
+# plan_accept_eval.py can then assemble acceptance.json post-hoc
+os.makedirs(SAVE, exist_ok=True)
+with open(os.path.join(SAVE, "true_param.json"), "w") as f:
+    json.dump({"material": MATERIAL, "seed": SEED, "n_sample": N_SAMPLE,
+               "true_param": [float(x) for x in np.atleast_1d(true_param)]},
+              f)
 
 # reachable target: a box around the object's perceived centroid, offset one
 # push length — 10 pushes can genuinely reduce the error toward it
