@@ -326,7 +326,13 @@ def _pbd_variant_subprocess(mode: str, timeout_s: int = 900):
 
 
 def main():
-    backend = jax.default_backend()
+    # INVARIANT: the parent must not initialize the jax backend until every
+    # child phase is done — only one process can hold the TPU (CLAUDE.md),
+    # so a parent that calls jax.default_backend()/any device op here
+    # starves the PBD children AND the _backend_reachable probes: each child
+    # blocks in backend init until its timeout and the whole bench degrades
+    # to the in-process fallback (observed r3s9: child burned its full 900 s
+    # with the parent wedged in probe loops).
     # same scene/physics either way — 'block' (AABB-culled tile sweep) vs
     # 'dense' (all-pairs) is an implementation choice whose crossover point
     # is hardware-dependent; measure both (in bounded children, see
@@ -338,14 +344,21 @@ def main():
             pbd_by_mode[m] = v
         elif not _backend_reachable():
             break  # worker down and not coming back; report what we have
+    parent_holds_backend = False
     if not pbd_by_mode:  # both children failed: last resort, in-process block
         pbd_by_mode["block"] = bench_pbd(contact_mode="block")
+        parent_holds_backend = True
     pbd_mode = max(pbd_by_mode, key=pbd_by_mode.get)
     pbd = pbd_by_mode[pbd_mode]
     # aggregate 4-env vmapped variant (the batched data-gen configuration);
     # bounded child like the others — vmapped programs are the class that
-    # has wedged the remote worker before
-    pbd_batch = _pbd_variant_subprocess("batch4")
+    # has wedged the remote worker before. Skipped if the in-process
+    # fallback already took the TPU in this parent (the child would starve).
+    pbd_batch = (None if parent_holds_backend
+                 else _pbd_variant_subprocess("batch4"))
+    # all child phases done — the parent may now take the TPU for the
+    # in-process GNN/MPPI benches
+    backend = jax.default_backend()
     by_mode = {}
     for mode in ("matmul", "slotted", "slotmm"):
         by_mode[mode] = bench_gnn(aggregation=mode)
