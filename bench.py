@@ -296,84 +296,112 @@ def bench_mppi(n_sample=20000, trials=3, aggregation="matmul", dtype="f32"):
     return best
 
 
-def _pbd_variant_subprocess(mode: str, timeout_s: int = 900):
-    """Run one PBD contact-mode variant in a BOUNDED child process.
+def _child(args, pattern, timeout_s=900):
+    """Run one bench phase in a BOUNDED child process and parse its result.
 
-    The remote TPU worker is known to wedge on some large Pallas programs
-    (CLAUDE.md); a hung variant inside the driver's bench run would leave
-    the round with no artifact at all. Each variant therefore runs in its
-    own child bounded by `timeout_s`; on a hang/crash the parent waits for
-    backend recovery and carries on with the variants that work.
-    """
+    The remote TPU worker is known to wedge on some programs — large Pallas
+    programs and big vmapped populations especially (CLAUDE.md) — and a hung
+    phase inside the driver's bench run would leave the round with no
+    artifact at all. EVERY chip phase therefore runs in its own child
+    bounded by `timeout_s` (the parent never initializes the backend, see
+    main()); on a hang/crash the parent probes for backend recovery and
+    carries on with the phases that work. Returns the regex groups of
+    `pattern` against the child's stdout, or None."""
     import os
     import re
     import subprocess
     import sys
 
+    print(f"[bench] child {args}", file=sys.stderr, flush=True)
     try:
-        flag = "--pbd-batch" if mode == "batch4" else "--pbd-mode"
-        arg = "block" if mode == "batch4" else mode
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), flag, arg],
+            [sys.executable, os.path.abspath(__file__)] + list(args),
             timeout=timeout_s, capture_output=True, text=True,
             env=dict(os.environ))
-        m = re.search(r"PBD_RESULT (\S+) ([0-9.]+)", r.stdout)
+        m = re.search(pattern, r.stdout)
+        print(f"[bench] child {args} rc={r.returncode} "
+              f"parsed={bool(m)}", file=sys.stderr, flush=True)
         if r.returncode == 0 and m:
-            return float(m.group(2))
+            return m.groups()
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr, flush=True)
     except subprocess.TimeoutExpired:
-        pass
+        print(f"[bench] child {args} TIMEOUT {timeout_s}s",
+              file=sys.stderr, flush=True)
     return None
 
 
-def main():
-    # INVARIANT: the parent must not initialize the jax backend until every
-    # child phase is done — only one process can hold the TPU (CLAUDE.md),
-    # so a parent that calls jax.default_backend()/any device op here
-    # starves the PBD children AND the _backend_reachable probes: each child
-    # blocks in backend init until its timeout and the whole bench degrades
-    # to the in-process fallback (observed r3s9: child burned its full 900 s
-    # with the parent wedged in probe loops).
-    # same scene/physics either way — 'block' (AABB-culled tile sweep) vs
-    # 'dense' (all-pairs) is an implementation choice whose crossover point
-    # is hardware-dependent; measure both (in bounded children, see
-    # _pbd_variant_subprocess) and report the best
+def _pbd_variant_subprocess(mode: str, timeout_s: int = 900):
+    flag = "--pbd-batch" if mode == "batch4" else "--pbd-mode"
+    arg = "block" if mode == "batch4" else mode
+    g = _child([flag, arg], r"PBD_RESULT (\S+) ([0-9.]+)", timeout_s)
+    return float(g[1]) if g else None
+
+
+def _gnn_subprocess(agg: str, dtype: str, timeout_s: int = 900):
+    g = _child(["--gnn", agg, dtype],
+               r"GNN_RESULT \S+ \S+ ([0-9.]+) ([0-9.eE+-]+|nan)", timeout_s)
+    return (float(g[0]), float(g[1])) if g else None
+
+
+def _mppi_subprocess(agg: str, dtype: str, timeout_s: int = 900):
+    g = _child(["--mppi", agg, dtype], r"MPPI_RESULT ([0-9.]+)", timeout_s)
+    return float(g[0]) if g else None
+
+
+def main(backend):
+    # INVARIANT: the parent NEVER initializes the jax backend — only one
+    # process can hold the TPU (CLAUDE.md), so a parent that calls
+    # jax.default_backend()/any device op starves every child phase AND the
+    # _backend_reachable probes: each child blocks in backend init until its
+    # timeout and the bench degrades to nothing (observed r3s9: the first
+    # child burned its full 900 s with the parent wedged in probe loops).
+    # Every chip phase runs in a bounded child (_child); a wedged worker
+    # costs one phase, never the whole artifact.
+    #
+    # PBD: same scene/physics either way — 'block' (AABB-culled tile sweep)
+    # vs 'dense' (all-pairs) is an implementation choice whose crossover
+    # point is hardware-dependent; measure both and report the best.
+    aborted = False
     pbd_by_mode = {}
     for m in ("block", "dense"):
         v = _pbd_variant_subprocess(m)
         if v is not None:
             pbd_by_mode[m] = v
         elif not _backend_reachable():
+            aborted = True
             break  # worker down and not coming back; report what we have
-    parent_holds_backend = False
-    if not pbd_by_mode:  # both children failed: last resort, in-process block
-        pbd_by_mode["block"] = bench_pbd(contact_mode="block")
-        parent_holds_backend = True
-    pbd_mode = max(pbd_by_mode, key=pbd_by_mode.get)
-    pbd = pbd_by_mode[pbd_mode]
-    # aggregate 4-env vmapped variant (the batched data-gen configuration);
-    # bounded child like the others — vmapped programs are the class that
-    # has wedged the remote worker before. Skipped if the in-process
-    # fallback already took the TPU in this parent (the child would starve).
-    pbd_batch = (None if parent_holds_backend
-                 else _pbd_variant_subprocess("batch4"))
-    # all child phases done — the parent may now take the TPU for the
-    # in-process GNN/MPPI benches
-    backend = jax.default_backend()
+    pbd_mode = max(pbd_by_mode, key=pbd_by_mode.get) if pbd_by_mode else None
+    pbd = pbd_by_mode[pbd_mode] if pbd_by_mode else 0.0
+    # aggregate 4-env vmapped variant (the batched data-gen configuration)
+    pbd_batch = None if aborted else _pbd_variant_subprocess("batch4")
+
     by_mode = {}
-    for mode in ("matmul", "slotted", "slotmm"):
-        by_mode[mode] = bench_gnn(aggregation=mode)
-    best_mode = max(by_mode, key=lambda m: by_mode[m][0])
+    if not aborted:
+        for mode in ("matmul", "slotted", "slotmm"):
+            v = _gnn_subprocess(mode, "f32")
+            if v is not None:
+                by_mode[mode] = v
+            elif not _backend_reachable():
+                aborted = True
+                break
+    best_mode = (max(by_mode, key=lambda m: by_mode[m][0])
+                 if by_mode else None)
     # bf16 variant of the winning mode: MXU-native input type + halved
     # activation HBM traffic. Params stay f32; prediction deviation vs f32
     # is test-bounded (tests/test_model_modes.py) and the planning rollout
     # path honors ADAPTIGRAPH_GNN_DTYPE=bf16, so this is a real serving
     # configuration, not a synthetic one.
-    by_mode[best_mode + "+bf16"] = bench_gnn(aggregation=best_mode,
-                                             dtype="bf16")
-    best_key = max(by_mode, key=lambda m: by_mode[m][0])
-    best_dtype = "bf16" if best_key.endswith("+bf16") else "f32"
-    gnn, gnn_flops_per_s = by_mode[best_key]
-    mppi = bench_mppi(aggregation=best_mode, dtype=best_dtype)
+    if best_mode is not None and not aborted:
+        v = _gnn_subprocess(best_mode, "bf16")
+        if v is not None:
+            by_mode[best_mode + "+bf16"] = v
+    best_key = max(by_mode, key=lambda m: by_mode[m][0]) if by_mode else None
+    best_dtype = ("bf16" if best_key and best_key.endswith("+bf16")
+                  else "f32")
+    gnn, gnn_flops_per_s = by_mode[best_key] if by_mode else (0.0, float("nan"))
+    mppi = (None if aborted or best_mode is None
+            else _mppi_subprocess(best_mode, best_dtype))
     combined = pbd + gnn
     # v5e (TPU v5 lite) peak: ~197 TFLOP/s bf16 / ~98.5 f32 MXU; report
     # utilization against the peak of the dtype that actually ran.
@@ -396,32 +424,36 @@ def main():
         "gnn_dtype": best_dtype,
         "gnn_by_mode": {m: round(v[0], 1) for m, v in by_mode.items()},
         "gnn_mfu": round(mfu, 4) if mfu is not None else None,
-        "mppi_samples_per_s": round(mppi, 1),
+        "mppi_samples_per_s": round(mppi, 1) if mppi is not None else None,
         "backend": backend,
+        "aborted_early": aborted,
     }))
 
 
-def _backend_reachable(timeout_s: int = 240, attempts: int = 3) -> bool:
+def _backend_reachable(timeout_s: int = 240, attempts: int = 3):
     """Probe the device backend in a bounded subprocess. The remote TPU
     worker can wedge so hard that backend *init* blocks forever (observed:
     >3 h); a hung bench leaves the driver with no artifact at all, so an
-    honest 'backend unavailable' JSON line beats an empty timeout."""
+    honest 'backend unavailable' JSON line beats an empty timeout.
+    Returns the backend platform name (truthy) or None — the parent itself
+    never initializes the backend (see main())."""
     import os
     import subprocess
     import sys
 
-    code = "import jax.numpy as j; print(float(j.sum(j.ones((4, 4)))))"
+    code = ("import jax, jax.numpy as j; "
+            "float(j.sum(j.ones((4, 4)))); print(jax.default_backend())")
     for _ in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=timeout_s, capture_output=True,
-                               env=dict(os.environ))
+                               text=True, env=dict(os.environ))
             if r.returncode == 0:
-                return True
+                return r.stdout.strip().splitlines()[-1]
         except subprocess.TimeoutExpired:
             pass
         time.sleep(30)
-    return False
+    return None
 
 
 if __name__ == "__main__":
@@ -430,8 +462,15 @@ if __name__ == "__main__":
         print(f"PBD_RESULT {mode} {bench_pbd(contact_mode=mode):.2f}")
     elif len(sys.argv) >= 3 and sys.argv[1] == "--pbd-batch":
         print(f"PBD_RESULT batch4 {bench_pbd_batch(contact_mode=sys.argv[2]):.2f}")
-    elif _backend_reachable():
-        main()
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--gnn":
+        agg, dt = sys.argv[2], sys.argv[3]
+        steps, fps = bench_gnn(aggregation=agg, dtype=dt)
+        print(f"GNN_RESULT {agg} {dt} {steps:.2f} {fps:.6g}")
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--mppi":
+        print(f"MPPI_RESULT "
+              f"{bench_mppi(aggregation=sys.argv[2], dtype=sys.argv[3]):.2f}")
+    elif (backend := _backend_reachable()):
+        main(backend)
     else:
         print(json.dumps({
             "metric": "combined PBD+GNN rollout steps/s per chip",
