@@ -331,21 +331,27 @@ def _child(args, pattern, timeout_s=900):
     return None
 
 
+# child result-line protocol — the __main__ printers and these parsers must
+# stay in sync (tests/test_bench_protocol.py pins the coupling)
+PBD_RE = r"PBD_RESULT (\S+) ([0-9.]+)"
+GNN_RE = r"GNN_RESULT \S+ \S+ ([0-9.]+) ([0-9.eE+-]+|nan)"
+MPPI_RE = r"MPPI_RESULT ([0-9.]+)"
+
+
 def _pbd_variant_subprocess(mode: str, timeout_s: int = 900):
     flag = "--pbd-batch" if mode == "batch4" else "--pbd-mode"
     arg = "block" if mode == "batch4" else mode
-    g = _child([flag, arg], r"PBD_RESULT (\S+) ([0-9.]+)", timeout_s)
+    g = _child([flag, arg], PBD_RE, timeout_s)
     return float(g[1]) if g else None
 
 
 def _gnn_subprocess(agg: str, dtype: str, timeout_s: int = 900):
-    g = _child(["--gnn", agg, dtype],
-               r"GNN_RESULT \S+ \S+ ([0-9.]+) ([0-9.eE+-]+|nan)", timeout_s)
+    g = _child(["--gnn", agg, dtype], GNN_RE, timeout_s)
     return (float(g[0]), float(g[1])) if g else None
 
 
 def _mppi_subprocess(agg: str, dtype: str, timeout_s: int = 900):
-    g = _child(["--mppi", agg, dtype], r"MPPI_RESULT ([0-9.]+)", timeout_s)
+    g = _child(["--mppi", agg, dtype], MPPI_RE, timeout_s)
     return float(g[0]) if g else None
 
 
