@@ -98,6 +98,15 @@ def load_data(filename: str) -> dict:
                     out[key][sub] = {cam: f[key][sub][cam][()] for cam in f[key][sub]}
             elif key == "info":
                 out[key] = {sub: f[key][sub][()] for sub in f[key]}
+            elif key in ("positions_lo", "positions_scale"):
+                pass  # consumed with positions_q below
+            elif key == "positions_q":
+                # compact git-durable form (scripts/compact_episodes.py):
+                # uint16 quantized over the episode bbox; decode transparently
+                q = f[key][()].astype(np.float64)
+                lo = f["positions_lo"][()]
+                scale = f["positions_scale"][()]
+                out["positions"] = (q * scale + lo).astype(np.float32)
             else:
                 out[key] = f[key][()]
     return out
