@@ -30,6 +30,12 @@ def make_batched_dynamics(model, task_config, eef_y_mode: str = "min"):
     Args:
       model: DynamicsPredictor instance.
       task_config: planning task dict (config/planning/*.yaml schema).
+        `n_sample_chunk` (the reference's 500-sample sequential chunking,
+        plan.py:241-247) bounds LIVE activation memory: when the population
+        exceeds it, the vmapped rollout runs as a `lax.map` over
+        chunk-size sub-batches inside ONE jitted program — the 20k-sample
+        slotmm population's (E, N) one-hot activations alone are ~8 GB,
+        past v5e HBM (BENCH_r03's MPPI OOM).
       eef_y_mode: 'min' (planner rollouts, forward_dynamics.py:40) or
         'mean' (masked replay, :235,359).
 
@@ -38,6 +44,7 @@ def make_batched_dynamics(model, task_config, eef_y_mode: str = "min"):
       (S, n_look, 4), physics_param) -> dict with state_seqs
       (S, n_look, nobj, 3).
     """
+    chunk_size = int(task_config.get("n_sample_chunk", 0) or 0)
     pusher_points = task_config["pusher_points"]
     n_pusher = len(pusher_points)
     sim_real_ratio = float(task_config["sim_real_ratio"])
@@ -137,8 +144,23 @@ def make_batched_dynamics(model, task_config, eef_y_mode: str = "min"):
             phys_b = jnp.tile(physics_param[None], (s, 1))
         else:
             phys_b = physics_param
-        seqs = jax.vmap(rollout_one, in_axes=(None, 0, 0, 0, 0))(
-            params, state_b, mask_b, actions, phys_b)
+
+        def run(args):
+            sb, mb, ab, pb = args
+            return jax.vmap(rollout_one, in_axes=(None, 0, 0, 0, 0))(
+                params, sb, mb, ab, pb)
+
+        if chunk_size and s > chunk_size and s % chunk_size == 0:
+            k = s // chunk_size
+
+            def resh(x):
+                return x.reshape((k, chunk_size) + x.shape[1:])
+
+            seqs = jax.lax.map(run, (resh(state_b), resh(mask_b),
+                                     resh(actions), resh(phys_b)))
+            seqs = seqs.reshape((s,) + seqs.shape[2:])
+        else:
+            seqs = run((state_b, mask_b, actions, phys_b))
         decoded, _ = decode_action(actions, push_length)
         return {"state_seqs": seqs, "action_seqs": decoded}
 

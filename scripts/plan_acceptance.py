@@ -72,6 +72,7 @@ print(f"true normalized physics param: {true_param}", flush=True)
 os.makedirs(SAVE, exist_ok=True)
 with open(os.path.join(SAVE, "true_param.json"), "w") as f:
     json.dump({"material": MATERIAL, "seed": SEED, "n_sample": N_SAMPLE,
+               "n_actions": N_ACTIONS,
                "true_param": [float(x) for x in np.atleast_1d(true_param)]},
               f)
 
@@ -97,17 +98,26 @@ stats = plan(tc, env, SAVE, use_ppo=True, n_actions=N_ACTIONS,
 stats = np.asarray(stats)
 errors = stats[:, 2]
 
-# PPO trajectory: final estimate from the last ppo_*.npz
+# PPO trajectory: final estimate from the last ppo_*.npz (numeric sort —
+# lexicographic order puts ppo_10 before ppo_2, ADVICE r3 #1)
 import glob
+import re
 
-ppo_files = sorted(glob.glob(os.path.join(SAVE, "ppo_*.npz")))
+
+def ppo_index(path):
+    return int(re.search(r"ppo_(\d+)", os.path.basename(path)).group(1))
+
+
+ppo_files = sorted(glob.glob(os.path.join(SAVE, "ppo_*.npz")), key=ppo_index)
 est = np.load(ppo_files[-1])["physics_param"] if ppo_files else None
 
-half_n = max(2, len(errors) // 3)
-early, late = float(errors[:half_n].mean()), float(errors[-half_n:].mean())
+window_n = max(2, len(errors) // 3)
+early = float(errors[:window_n].mean())
+late = float(errors[-window_n:].mean())
 res = {
     "material": MATERIAL,
     "n_actions": N_ACTIONS,
+    "n_actions_executed": int(len(errors)),
     "n_sample": N_SAMPLE,
     "errors": [round(float(e), 4) for e in errors],
     "early_mean": round(early, 4),

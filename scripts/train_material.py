@@ -42,7 +42,9 @@ params, history = train(cfg, epochs=EPOCHS, iters=ITERS, batch_size=BATCH,
 print(f"[{time.time()-t0:.0f}s] train done: {history['train']}", flush=True)
 
 from adaptigraph_tpu.dynamics.rollout import rollout
-errors = rollout(cfg, ckpt='best', rollout_steps=20)
+# 100-step autoregressive horizon = the reference's evaluation protocol
+# (src/dynamics/rollout/rollout.py:63); VERDICT r3 weak #5
+errors = rollout(cfg, ckpt='best', rollout_steps=100)
 finals = [e[-1] for e in errors if e]
 print(f"[{time.time()-t0:.0f}s] rollout: {len(errors)} pushes, "
       f"mean final err {np.mean(finals):.4f}", flush=True)

@@ -4,18 +4,24 @@ bench.py runs every chip phase in a bounded child process and parses one
 result line from its stdout (the remote TPU worker can wedge; a hung phase
 must cost one field, not the round's artifact). These tests pin the
 coupling between the __main__ printers' formats and the parser regexes —
-a drift there silently drops a measured result.
+a drift there silently drops a measured result — and the structured
+per-phase failure statuses recorded into the final JSON (VERDICT r3
+weak #4: a missing number must be diagnosable from the artifact alone).
 """
 import re
+import subprocess
+import sys
 
 import bench
 
 
 def test_pbd_result_roundtrip():
-    line = f"PBD_RESULT block {712.34:.2f}"
+    # median-of-5 + spread (VERDICT r3 weak #7: ±10% trial noise must be
+    # visible in the artifact)
+    line = f"PBD_RESULT block {712.34:.2f} {55.10:.2f}"
     g = re.search(bench.PBD_RE, line).groups()
-    assert g[0] == "block" and float(g[1]) == 712.34
-    line = f"PBD_RESULT batch4 {1523.0:.2f}"
+    assert g[0] == "block" and float(g[1]) == 712.34 and float(g[2]) == 55.10
+    line = f"PBD_RESULT batch4 {1523.0:.2f} {12.00:.2f}"
     assert float(re.search(bench.PBD_RE, line).group(2)) == 1523.0
 
 
@@ -42,5 +48,51 @@ def test_mppi_result_roundtrip():
 
 def test_result_lines_survive_surrounding_noise():
     noisy = ("WARNING: Platform 'axon' is experimental\n"
-             "PBD_RESULT dense 505.10\ntrailing logs\n")
+             "PBD_RESULT dense 505.10 21.30\ntrailing logs\n")
     assert float(re.search(bench.PBD_RE, noisy).group(2)) == 505.10
+
+
+def test_child_status_timeout(monkeypatch):
+    def fake_run(*a, **k):
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=k["timeout"])
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    g, status = bench._child(["--mppi", "slotmm", "bf16"], bench.MPPI_RE,
+                             timeout_s=1)
+    assert g is None and status == "timeout"
+
+
+class _Res:
+    def __init__(self, rc, out="", err=""):
+        self.returncode, self.stdout, self.stderr = rc, out, err
+
+
+def test_child_status_oom(monkeypatch):
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Res(
+        1, err="jaxlib ... RESOURCE_EXHAUSTED: Out of memory allocating"))
+    g, status = bench._child(["--mppi", "x", "y"], bench.MPPI_RE)
+    assert g is None and status == "oom"
+
+
+def test_child_status_parse_and_rc(monkeypatch):
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: _Res(0, out="no result line here"))
+    assert bench._child(["--gnn", "m", "f32"], bench.GNN_RE)[1] == "parse"
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Res(3))
+    assert bench._child(["--gnn", "m", "f32"], bench.GNN_RE)[1] == "rc=3"
+
+
+def test_child_status_ok(monkeypatch):
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Res(
+        0, out="PBD_RESULT block 800.00 40.00\n"))
+    g, status = bench._child(["--pbd-mode", "block"], bench.PBD_RE)
+    assert status == "ok" and float(g[1]) == 800.0 and float(g[2]) == 40.0
+
+
+def test_malformed_flag_exits_nonzero_without_bench():
+    # ADVICE r3 #3: 'python bench.py --gnn slotmm' (missing dtype) must
+    # error out, never fall through to the full multi-child TPU run
+    r = subprocess.run([sys.executable, "/root/repo/bench.py", "--gnn",
+                        "slotmm"], capture_output=True, text=True, timeout=60)
+    assert r.returncode == 2
+    assert "usage error" in r.stderr

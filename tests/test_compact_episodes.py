@@ -64,7 +64,9 @@ def test_idempotent_and_degenerate_axis(tmp_path):
         p[..., 1] = 0.25
         del f["positions"]
         f.create_dataset("positions", data=p)
-    os.utime(src)
+    import time
+
+    os.utime(src, (time.time() + 5, time.time() + 5))  # beat mtime ties
     assert compact_h5(src, dst)
     out = load_data(dst)
     assert np.abs(out["positions"][..., 1] - 0.25).max() < 1e-6

@@ -225,6 +225,51 @@ class TestBatchedDynamics:
         # sample 0 with 3 repeats should have moved (random model output != 0)
         assert np.abs(np.asarray(out["state_seqs"][0, 0]) - np.asarray(state)).max() > 1e-5
 
+    def test_chunked_population_matches_unchunked(self):
+        """n_sample_chunk (the v5e HBM bound for the 20k MPPI population,
+        BENCH_r03 OOM) must be a pure memory-layout choice: lax.map over
+        sub-batches returns bit-identical rollouts to the single vmap."""
+        from adaptigraph_tpu.dynamics.model import DynamicsPredictor, ModelConfig
+        from adaptigraph_tpu.planning.forward_dynamics import make_batched_dynamics
+
+        cfg = ModelConfig(n_his=4, nf=16, pstep=1)
+        model = DynamicsPredictor(cfg)
+        task = {
+            "pusher_points": [[0.0, 0.0, 0.1]], "sim_real_ratio": 10,
+            "push_length": 0.2, "adj_thresh": 0.5, "topk": 5,
+            "connect_tools_all": False, "max_nR": 200, "n_his": 4,
+            "gripper_enable": False, "action_lower_lim": [-4.5, -2.5, -3.14, 2],
+            "action_upper_lim": [0.0, 4.5, 3.14, 4],
+        }
+        nobj = 30
+        rng = np.random.RandomState(1)
+        state = jnp.array(rng.rand(nobj, 3), jnp.float32)
+        mask = jnp.ones(nobj, bool)
+        from adaptigraph_tpu.ops import build_edges
+        st4 = jnp.tile(state[None], (4, 1, 1))
+        full = jnp.concatenate([st4, jnp.zeros((4, 1, 3))], axis=1)
+        e = build_edges(full[-1], 0.5, jnp.ones(nobj + 1, bool),
+                        jnp.zeros(nobj + 1, bool).at[nobj].set(True), topk=5,
+                        max_edges=200)
+        params = model.init(jax.random.PRNGKey(0), full,
+                            jnp.zeros((nobj + 1, 2)), e.receivers, e.senders,
+                            e.valid, jnp.ones((nobj, 1)), jnp.array([0.5]),
+                            action=jnp.zeros((nobj + 1, 3)))["params"]
+        acts = jnp.array(rng.uniform(-2, 2, (8, 1, 4)), jnp.float32)
+        acts = acts.at[..., 3].set(jnp.array(rng.uniform(2, 4, (8, 1)),
+                                             jnp.float32))
+        out_full = make_batched_dynamics(model, task)(
+            params, state, mask, acts, jnp.array([0.5]))
+        out_chunk = make_batched_dynamics(model, dict(task, n_sample_chunk=2))(
+            params, state, mask, acts, jnp.array([0.5]))
+        np.testing.assert_array_equal(np.asarray(out_full["state_seqs"]),
+                                      np.asarray(out_chunk["state_seqs"]))
+        # non-divisible population falls back to the single vmap
+        out_odd = make_batched_dynamics(model, dict(task, n_sample_chunk=3))(
+            params, state, mask, acts, jnp.array([0.5]))
+        np.testing.assert_array_equal(np.asarray(out_full["state_seqs"]),
+                                      np.asarray(out_odd["state_seqs"]))
+
 
 class TestPPORecovery:
     def test_ppo_recovers_known_param(self, tmp_path):
