@@ -10,8 +10,17 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import numpy as np
 import jax
+
+if os.environ.get("ADAPTIGRAPH_FORCE_CPU"):
+    # the axon sitecustomize overrides JAX_PLATFORMS (CLAUDE.md); this is
+    # the only reliable way to keep a profile run off the (single-tenant)
+    # TPU while a campaign holds it
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from scripts.bench_pbd_paths import make_case  # noqa: E402
@@ -187,7 +196,8 @@ def real_case():
 
 
 
-if __name__ == "__main__" and "--tiles" not in sys.argv:
+if __name__ == "__main__" and not ("--tiles" in sys.argv
+                                   or "--batch" in sys.argv):
     main()
 
 
@@ -212,6 +222,118 @@ def tile_probe():
                       spec.rest_pos, 0.03, 0.25, 0.0, bi, bc, tile=t)[0]
                   * 1e-6 + x, pos)
 
+
+def batch_scaling():
+    """Explain the 4-env vmapped aggregate (VERDICT r3 weak #2 / next #4):
+    time the REAL bench scene's full frame and each major pass vmapped over
+    n_env in {1, 2, 4, 8} (state batched, spec shared — exactly
+    bench.bench_pbd_batch's configuration). A pass whose time grows ~n_env
+    is throughput-bound (TPU Pallas grids run sequentially; more envs =
+    proportionally more grid steps); one whose time is ~flat is
+    latency/overhead-bound and batching amortizes it."""
+    from functools import partial
+
+    from adaptigraph_tpu.engine import xpbd_step
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        pack_contact_tables, refine_overlap_blocks_packed, tile_overlap_blocks)
+    from adaptigraph_tpu.engine.solver import (
+        _cluster_deltas_matmul, _global_cluster_deltas, _pad_tile,
+        _pad_tile_mask)
+    from adaptigraph_tpu.engine.collisions import shape_contact_deltas
+    from adaptigraph_tpu.engine.state import SHAPE_BOX, SHAPE_PLANE, make_shapes
+    from adaptigraph_tpu.scenes import build_scene
+    from adaptigraph_tpu.scenes.build import Caps
+
+    print("--- batched scaling, real bench scene ---", flush=True)
+    print("backend:", jax.default_backend(), flush=True)
+    caps = Caps(n=5120, s=0, c=1024, k=640, m=2)
+    shapes = make_shapes(
+        [SHAPE_PLANE, SHAPE_BOX],
+        [[0, 0, 0], [0.05, 0.4, 0.8]],
+        [[0, 0, 0], [0, 0.4, 0]],
+        [[0, 0, 0, 1], [0, 0, 0, 1]], m_max=caps.m)
+    b = build_scene("rope", np.random.RandomState(0), shapes=shapes,
+                    caps=caps,
+                    scene_overrides={"length": 6.0,
+                                     "translation": np.zeros(3, np.float32),
+                                     "z_rotation": 0.0, "y_rotation": 90.0})
+    st, spec = b.state, b.spec
+    p = st.particles
+    n = p.pos.shape[0]
+    prm = spec.params
+
+    def frame_one(stx):
+        stx = stx._replace(shapes=stx.shapes.moved_to(stx.shapes.pos,
+                                                      stx.shapes.quat))
+        return xpbd_step(stx, spec, b.substeps, b.iterations,
+                         contact_mode="block")
+
+    def block_build_one(x):
+        tables = pack_contact_tables(x, x, p.group, p.inv_mass,
+                                     p.self_collide, p.active, spec.rest_pos)
+        bi, bc, _ = tile_overlap_blocks(_pad_tile(x), _pad_tile_mask(p.active),
+                                        prm.radius * 1.5, max_blocks=40)
+        bi, bc = refine_overlap_blocks_packed(
+            n, *tables, prm.solid_rest_distance * 1.05,
+            prm.collide_filter_dist, bi, bc)
+        return x + 1e-6 * (bc.astype(jnp.float32).sum())
+
+    def sweep_one(x):
+        from adaptigraph_tpu.engine.pallas_kernels import (
+            block_sparse_contact_deltas)
+        bi, bc, _ = tile_overlap_blocks(_pad_tile(x), _pad_tile_mask(p.active),
+                                        prm.radius * 1.5, max_blocks=40)
+        return block_sparse_contact_deltas(
+            x, x, p.group, p.inv_mass, p.self_collide, p.active, spec.rest_pos,
+            prm.solid_rest_distance, prm.dynamic_friction, 0.0, bi, bc,
+        )[0] * 1e-6 + x
+
+    def cluster_one(x):
+        return _cluster_deltas_matmul(x, spec.rest_pos, spec.clusters,
+                                      st.cluster_rot, spec.cluster_mm)[0] \
+            * 1e-6 + x
+
+    def global_one(x):
+        return _global_cluster_deltas(x, p.active, p.inv_mass,
+                                      spec.global_rest, spec.global_stiffness,
+                                      st.global_rot)[0] * 1e-6 + x
+
+    svel = jnp.zeros_like(st.shapes.pos)
+
+    def shape_one(x):
+        return shape_contact_deltas(
+            x, x, st.shapes, st.shapes.pos, st.shapes.quat, svel,
+            0.015, 0.0, 0.1, 1 / 120)[0] * 1e-6 + x
+
+    passes = [("frame 2x4", frame_one, st, 100),
+              ("block build", block_build_one, p.pos, 200),
+              ("contact sweep+AABB", sweep_one, p.pos, 200),
+              ("shape contacts", shape_one, p.pos, 200)]
+    if spec.cluster_mm is not None:
+        passes.insert(3, ("cluster matmul", cluster_one, p.pos, 200))
+    if spec.global_rest.shape[0] > 0:
+        passes.insert(4, ("global cluster", global_one, p.pos, 200))
+    import os
+    scale = float(os.environ.get("ADAPTIGRAPH_PROF_REPS_SCALE", "1"))
+    envs = tuple(int(e) for e in os.environ.get(
+        "ADAPTIGRAPH_PROF_ENVS", "1,2,4,8").split(","))
+    passes = [(nm, fn, x0, max(2, int(r * scale))) for nm, fn, x0, r in passes]
+    base = {}
+    for n_env in envs:
+        for name, fn, x0, reps in passes:
+            xb = jax.tree.map(
+                lambda a: jnp.tile(a[None], (n_env,) + (1,) * a.ndim), x0)
+            t = scan_time(f"E={n_env} {name}", jax.vmap(fn), xb, reps=reps)
+            if n_env == 1:
+                base[name] = t
+            elif name in base:
+                print(f"    scale vs E=1: {t / base[name]:.2f}x "
+                      f"(linear would be {n_env}.0x)", flush=True)
+
+
+if __name__ == "__main__" and "--batch" in sys.argv:
+    batch_scaling()
+    sys.exit(0)
 
 if __name__ == "__main__" and "--tiles" in sys.argv:
     tile_probe()
