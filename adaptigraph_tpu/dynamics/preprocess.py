@@ -167,6 +167,10 @@ def preprocess(config):
         all_obj.append(np.concatenate(obj_steps, axis=0))
         print(f"episode {epi}: {n_frames} frames, {num_steps} pushes")
 
+    if not phys:
+        raise RuntimeError(
+            f"no complete episodes (settle + >=1 push) under {data_dir} for "
+            f"this material — generate data first (sim/data_gen.py)")
     phys = np.stack(phys, axis=0)
     rng = np.stack([phys.min(0), phys.max(0)], axis=0)
     np.savetxt(os.path.join(save_dir, "phys_range.txt"), rng)
