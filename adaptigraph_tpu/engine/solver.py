@@ -241,8 +241,17 @@ def _cluster_deltas_matmul(pos, pos0, clusters, cluster_rot, mm):
     Replaces the dominant rope-frame cost (measured 1.28 ms/iteration of
     member gathers at C=384, K=640 -> ~25 us of matmul)."""
     hi = jax.lax.Precision.HIGHEST
-    m = mm.matrix  # (C, N)
-    cnt = jnp.maximum(mm.count, 1.0)[:, None]  # (C, 1)
+    m = mm.matrix  # (C_t, N) — possibly trimmed to the valid-row prefix
+    # state.trim_cluster_matmul cuts the all-zero padding rows the matmuls
+    # would otherwise stream from HBM every iteration; per-cluster state and
+    # ClusterSet stay cap-C sized, so slice their prefix and stitch the
+    # untouched tail back on return
+    ct = m.shape[0]
+    rot_tail = cluster_rot[ct:]
+    cluster_rot = cluster_rot[:ct]
+    cl_valid = clusters.valid[:ct]
+    cl_stiff = clusters.stiffness[:ct]
+    cnt = jnp.maximum(mm.count, 1.0)[:, None]  # (C_t, 1)
     # displacement form: u magnitudes (motion since build) are far smaller
     # than absolute coordinates, so the matmul-and-subtract below loses
     # ~|u||pos0| instead of ~|pos||pos0| to cancellation (see ClusterMatmul
@@ -256,22 +265,22 @@ def _cluster_deltas_matmul(pos, pos0, clusters, cluster_rot, mm):
     a = mm.a00.reshape(-1, 3, 3) + g12[:, 3:].reshape(-1, 3, 3) \
         - cnt[..., None] * (ubar[:, :, None] * mm.com0[:, None, :])
     q_new = geo.extract_rotation(a, cluster_rot, iterations=6)
-    q_new = jnp.where(clusters.valid[:, None], q_new, cluster_rot)
-    r = geo.quat_to_matrix(q_new)  # (C, 3, 3)
-    s = clusters.stiffness  # (C,)
+    q_new = jnp.where(cl_valid[:, None], q_new, cluster_rot)
+    r = geo.quat_to_matrix(q_new)  # (C_t, 3, 3)
+    s = cl_stiff  # (C_t,)
     # R @ com0_goal written out elementwise: tiny einsums lower to
     # dot_general, whose DEFAULT precision is lossy (bf16-class) on both
     # the TPU and the forced-host CPU test platform — enough per-iteration
     # noise to wash out granular stick-slip friction over a push
-    b = s[:, None] * (com - _mat3_apply(r, mm.com0_goal))  # (C, 3)
+    b = s[:, None] * (com - _mat3_apply(r, mm.com0_goal))  # (C_t, 3)
     packed = jnp.concatenate(
         [b, (s[:, None, None] * r).reshape(-1, 9), s[:, None],
-         clusters.valid.astype(pos.dtype)[:, None]], axis=1)  # (C, 14)
+         cl_valid.astype(pos.dtype)[:, None]], axis=1)  # (C_t, 14)
     g = jnp.dot(m.T, packed, precision=hi)  # (N, 14)
     delta = g[:, :3] + _mat3_apply(g[:, 3:12].reshape(-1, 3, 3), pos0) \
         - g[:, 12:13] * pos
     cnt_p = g[:, 13]
-    return delta, cnt_p, q_new
+    return delta, cnt_p, jnp.concatenate([q_new, rot_tail], axis=0)
 
 
 def _mat3_apply(m3, v):

@@ -313,6 +313,60 @@ def fold_global_cluster(spec, particles) -> "SceneSpec":
     )
 
 
+def trim_cluster_matmul(spec) -> "SceneSpec":
+    """Trim the membership-matrix cluster pass to the valid-row prefix.
+
+    Builders emit valid clusters as a contiguous prefix of the cap-C
+    cluster set, so the padding rows of the (C, N) membership matrix are
+    all zero — yet both per-iteration matmuls still stream them from HBM.
+    The pass is bandwidth-bound on exactly that traffic: at the bench rope
+    point (42 valid clusters of C=1024 cap, N=5120) the measured ~54
+    us/iteration matches the 2 x 21 MB matrix reads at v5e HBM speed, and
+    ~96% of it is padding. Rows are cut to the prefix rounded up to a
+    multiple of 8 (f32 sublane tile). The per-cluster STATE (cluster_rot)
+    keeps its cap-C shape — `_cluster_deltas_matmul` slices the prefix and
+    stitches the untouched tail back, so the trim is exact (trimmed rows
+    have zero membership, zero stiffness, valid=False).
+
+    Run AFTER fold_global_cluster (the fold claims the first free row past
+    the valid prefix). No-op when the pass is absent or already trim."""
+    mm = spec.cluster_mm
+    if mm is None:
+        return spec
+    c = mm.matrix.shape[0]
+    valid = np.asarray(spec.clusters.valid)[:c]
+    nz = np.asarray(mm.matrix).any(axis=1)
+    used = valid | nz
+    nv = int(np.nonzero(used)[0].max()) + 1 if used.any() else 1
+    ct = min(c, -(-nv // 8) * 8)
+    if ct >= c:
+        return spec
+    if nz[ct:].any():  # non-prefix layout: trimming would drop members
+        return spec
+    return spec._replace(cluster_mm=ClusterMatmul(
+        matrix=mm.matrix[:ct], com0=mm.com0[:ct],
+        com0_goal=mm.com0_goal[:ct], count=mm.count[:ct], a00=mm.a00[:ct]))
+
+
+def pad_cluster_matmul(mm: "ClusterMatmul", ct: int) -> "ClusterMatmul":
+    """Re-pad a trimmed membership-matrix pass back to `ct` rows with inert
+    zero rows (zero membership -> zero delta; count 1 keeps the divide
+    benign; identity-preserving rotation extraction on a zero covariance).
+    Used by batched envs to align trimmed widths across a batch."""
+    c = mm.matrix.shape[0]
+    if c >= ct:
+        return mm
+    p = ct - c
+    return ClusterMatmul(
+        matrix=jnp.concatenate(
+            [mm.matrix, jnp.zeros((p, mm.matrix.shape[1]),
+                                  mm.matrix.dtype)], axis=0),
+        com0=jnp.concatenate([mm.com0, jnp.zeros((p, 3))], axis=0),
+        com0_goal=jnp.concatenate([mm.com0_goal, jnp.zeros((p, 3))], axis=0),
+        count=jnp.concatenate([mm.count, jnp.ones((p,))], axis=0),
+        a00=jnp.concatenate([mm.a00, jnp.zeros((p, 9))], axis=0))
+
+
 class ClusterSegments(NamedTuple):
     """Contiguous-segment form of the cluster pass, for scenes whose
     clusters are DISJOINT, CONTIGUOUS index ranges in build order (granular:

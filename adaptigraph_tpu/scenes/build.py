@@ -442,9 +442,14 @@ def build_scene(material: str, rng: np.random.RandomState, shapes: ShapeSet | No
         scene.update(scene_overrides)
     particles, spec, n_active = _BUILDERS[material](scene, rng, caps)
     spec = attach_incidence(spec, caps.n)
-    from adaptigraph_tpu.engine.state import fold_global_cluster
+    from adaptigraph_tpu.engine.state import (fold_global_cluster,
+                                              trim_cluster_matmul)
 
     spec = fold_global_cluster(spec, particles)
+    # drop the all-zero cap-padding rows from the membership matmuls (the
+    # bandwidth they stream is ~96% of the cluster pass at the rope bench
+    # point); must follow the fold, which claims the first free row
+    spec = trim_cluster_matmul(spec)
     # capacity-cap truncations are part of the episode's ground truth:
     # stamp them into property_params so preprocessing/training can see
     # the scene-distribution shift (VERDICT r1 weak #6)

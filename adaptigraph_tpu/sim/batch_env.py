@@ -59,6 +59,7 @@ class BatchSimEnv:
         e0 = self.envs[0]
         self.substeps, self.iterations = e0.substeps, e0.iterations
         self._align_incidence()
+        self._align_cluster_mm()
         self.states = jax.tree.map(lambda *x: jnp.stack(x),
                                    *[e.state for e in self.envs])
         self.specs = jax.tree.map(lambda *x: jnp.stack(x),
@@ -95,6 +96,24 @@ class BatchSimEnv:
                 s = s._replace(spring_inc=build_spring_incidence(
                     s.springs, n, d_max=d_s))
             env.spec = s
+
+    def _align_cluster_mm(self):
+        """Membership-matrix passes are trimmed per scene to the valid-row
+        prefix (state.trim_cluster_matmul); re-pad every env's to the
+        batch-wide max width so specs stack into one vmapped pytree (inert
+        zero rows — exact)."""
+        from adaptigraph_tpu.engine.state import pad_cluster_matmul
+
+        widths = [e.spec.cluster_mm.matrix.shape[0] for e in self.envs
+                  if e.spec.cluster_mm is not None]
+        if not widths:
+            return
+        ct = max(widths)
+        for env in self.envs:
+            if (env.spec.cluster_mm is not None
+                    and env.spec.cluster_mm.matrix.shape[0] != ct):
+                env.spec = env.spec._replace(
+                    cluster_mm=pad_cluster_matmul(env.spec.cluster_mm, ct))
 
     def _compile(self):
         e0 = self.envs[0]

@@ -199,6 +199,54 @@ def test_cluster_matmul_matches_gather_rope_scene():
     np.testing.assert_allclose(np.asarray(c1 + cg), np.asarray(c2), atol=1e-5)
 
 
+def test_cluster_matmul_trim_is_exact():
+    """state.trim_cluster_matmul drops only all-zero padding rows, so the
+    trimmed pass must reproduce the full-width pass exactly (deltas, counts,
+    and the stitched cap-C rotation state) — the padding rows were ~96% of
+    the pass's HBM traffic at the rope bench point."""
+    import jax
+
+    from adaptigraph_tpu.scenes.build import (
+        _BUILDERS, MATERIAL_CAPS, attach_incidence)
+    from adaptigraph_tpu.scenes.samplers import sample_scene
+    from adaptigraph_tpu.engine.state import (fold_global_cluster,
+                                              pad_cluster_matmul,
+                                              trim_cluster_matmul)
+    from adaptigraph_tpu.engine.solver import _cluster_deltas_matmul
+
+    rng = np.random.RandomState(3)
+    scene, _ = sample_scene("rope", rng)
+    caps = MATERIAL_CAPS["rope"]
+    particles, spec0, _ = _BUILDERS["rope"](scene, rng, caps)
+    spec0 = attach_incidence(spec0, caps.n)
+    spec1 = fold_global_cluster(spec0, particles)
+    spec2 = trim_cluster_matmul(spec1)
+    ct = spec2.cluster_mm.matrix.shape[0]
+    assert ct < caps.c and ct % 8 == 0
+    pos = particles.pos + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(0), particles.pos.shape)
+    rot0 = jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (caps.c, 1))
+    d_full, c_full, q_full = _cluster_deltas_matmul(
+        pos, spec1.rest_pos, spec1.clusters, rot0, spec1.cluster_mm)
+    d_trim, c_trim, q_trim = _cluster_deltas_matmul(
+        pos, spec2.rest_pos, spec2.clusters, rot0, spec2.cluster_mm)
+    assert q_trim.shape == (caps.c, 4)
+    np.testing.assert_allclose(np.asarray(d_full), np.asarray(d_trim),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c_full), np.asarray(c_trim),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(q_full), np.asarray(q_trim),
+                               atol=1e-7)
+    # batch alignment round-trip: re-padded trimmed pass is inert past ct
+    mm_pad = pad_cluster_matmul(spec2.cluster_mm, ct + 16)
+    d_pad, c_pad, q_pad = _cluster_deltas_matmul(
+        pos, spec2.rest_pos, spec2.clusters, rot0, mm_pad)
+    np.testing.assert_allclose(np.asarray(d_pad), np.asarray(d_trim),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(q_pad), np.asarray(q_trim),
+                               atol=1e-7)
+
+
 def test_cluster_segments_match_gather_granular_scene():
     """The contiguous-segment cluster pass (granular granule layout) must
     reproduce the gather formulation."""
