@@ -527,7 +527,8 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
               contact_mode: str | None = None,
               rest_filter: bool | None = None,
               contact_tile_j: int | None = None,
-              n_shapes_active: int | None = None) -> SceneState:
+              n_shapes_active: int | None = None,
+              packed_tables=None) -> SceneState:
     """One outer sim frame (dt = params.dt), matching pyflex.step semantics:
     kinematic shapes move from their prev pose to their current pose across
     the substeps; particles respond.
@@ -578,10 +579,19 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
     overflow = jnp.int32(0)
     if contact_mode == "block":
         # frame-constant attribute tables for the contact kernels: packed
-        # ONCE here; substeps/iterations refresh only the position rows
-        tables = pack_contact_tables(
-            p0.pos, p0.pos, p0.group, p0.inv_mass, p0.self_collide, p0.active,
-            spec.rest_pos, tile_j=tj)
+        # ONCE here; substeps/iterations refresh only the position rows.
+        # `packed_tables` (rollout_steps) hoists even that: the 13 attribute
+        # rows are EPISODE-constant when nothing mutates inv_mass/active
+        # mid-rollout, so a caller-packed table only needs its position
+        # rows refreshed per frame (two (N, 3) transposes instead of the
+        # full 7-DUS attribute pack + (16, N) relayout).
+        if packed_tables is not None:
+            tables = update_contact_tables(*packed_tables, p0.pos,
+                                           pos_prev=p0.pos)
+        else:
+            tables = pack_contact_tables(
+                p0.pos, p0.pos, p0.group, p0.inv_mass, p0.self_collide,
+                p0.active, spec.rest_pos, tile_j=tj)
         # block structure ONCE per outer frame (like the NvFlex hash grid):
         # inflation radius*1.5 covers a frame of particle drift. The block
         # index table lives in SMEM inside the kernel; cap its width at
@@ -670,13 +680,32 @@ def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat
     (None = auto; 'sparse' avoids interpret-mode Pallas on CPU hosts).
     """
 
+    # hoist the contact-table attribute pack out of the frame scan: nothing
+    # in a pure shape-driven rollout mutates the 13 frame-constant rows
+    # (group / inv_mass / phase / active / rest), so pack once and let each
+    # frame refresh only the position rows (callers that DO mutate
+    # inv_mass mid-scan — SimEnv grasp attachments — use xpbd_step's
+    # per-frame pack instead)
+    p = state.particles
+    n = p.pos.shape[0]
+    eff_mode = contact_mode
+    if eff_mode is None:
+        eff_mode = "dense" if n <= 2048 else "block"
+    tables0 = None
+    if eff_mode == "block":
+        tj = contact_tile_j or (256 if n > 16384 else _TILE)
+        tables0 = pack_contact_tables(p.pos, p.pos, p.group, p.inv_mass,
+                                      p.self_collide, p.active, spec.rest_pos,
+                                      tile_j=tj)
+
     def body(st, tgt):
         pos_t, quat_t = tgt
         st = st._replace(shapes=st.shapes.moved_to(pos_t, quat_t))
         st = xpbd_step(st, spec, substeps, iterations, neighbor_k,
                        contact_mode=contact_mode, rest_filter=rest_filter,
                        contact_tile_j=contact_tile_j,
-                       n_shapes_active=n_shapes_active)
+                       n_shapes_active=n_shapes_active,
+                       packed_tables=tables0)
         out = st.particles.pos if record else None
         return st, out
 

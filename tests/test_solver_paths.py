@@ -199,6 +199,32 @@ def test_cluster_matmul_matches_gather_rope_scene():
     np.testing.assert_allclose(np.asarray(c1 + cg), np.asarray(c2), atol=1e-5)
 
 
+def test_rollout_steps_hoisted_tables_match_stepwise():
+    """rollout_steps packs the contact-table attribute rows once and lets
+    each frame refresh only the position rows; that must be bit-equivalent
+    to xpbd_step's own per-frame pack (same table contents by
+    construction)."""
+    from adaptigraph_tpu.engine.solver import rollout_steps
+
+    st, spec = _spring_cluster_scene()
+    T = 3
+    pos_traj = jnp.tile(st.shapes.pos[None], (T, 1, 1))
+    quat_traj = jnp.tile(st.shapes.quat[None], (T, 1, 1))
+    final, _ = rollout_steps(st, spec, pos_traj, quat_traj, substeps=2,
+                             iterations=2, record=False,
+                             contact_mode="block")
+    st_ref = st
+    for t in range(T):
+        st_ref = st_ref._replace(shapes=st_ref.shapes.moved_to(
+            pos_traj[t], quat_traj[t]))
+        st_ref = xpbd_step(st_ref, spec, substeps=2, iterations=2,
+                           contact_mode="block")
+    np.testing.assert_allclose(np.asarray(final.particles.pos),
+                               np.asarray(st_ref.particles.pos), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(final.particles.vel),
+                               np.asarray(st_ref.particles.vel), atol=1e-6)
+
+
 def test_cluster_matmul_trim_is_exact():
     """state.trim_cluster_matmul drops only all-zero padding rows, so the
     trimmed pass must reproduce the full-width pass exactly (deltas, counts,
