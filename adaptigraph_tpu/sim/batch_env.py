@@ -122,7 +122,8 @@ class BatchSimEnv:
         tool_slot0, n_tool = e0.tool_slot0, e0.n_tool
         arm_slot0, n_arm = e0.arm_slot0, e0.n_arm
 
-        def one_step(st, inp, spec, attach_idx, attach_rel):
+        def one_step(st, inp, spec, attach_idx, attach_rel, has_attach,
+                     tables0):
             # identical body to SimEnv._compile_push's one_step
             eef, rot, gap, att_on, lp, lq = inp
             tp, tq = e0._tool_pose_arrays(eef, rot, gap)
@@ -132,39 +133,57 @@ class BatchSimEnv:
                 new_pos = new_pos.at[arm_slot0: arm_slot0 + n_arm].set(lp)
                 new_quat = new_quat.at[arm_slot0: arm_slot0 + n_arm].set(lq)
             st = st._replace(shapes=st.shapes.moved_to(new_pos, new_quat))
-            p = st.particles
-            on = att_on > 0
-            apos = eef[None, :] + (rot @ attach_rel.T).T
-            cur = p.pos[attach_idx]
-            tgt = jnp.where(on, apos, cur)
-            pos2 = p.pos.at[attach_idx].set(tgt)
-            w2 = p.inv_mass.at[attach_idx].set(
-                jnp.where(on, 0.0, p.inv_mass[attach_idx]))
-            st = st._replace(particles=p._replace(pos=pos2, inv_mass=w2))
+            if has_attach:
+                p = st.particles
+                on = att_on > 0
+                apos = eef[None, :] + (rot @ attach_rel.T).T
+                cur = p.pos[attach_idx]
+                tgt = jnp.where(on, apos, cur)
+                pos2 = p.pos.at[attach_idx].set(tgt)
+                w2 = p.inv_mass.at[attach_idx].set(
+                    jnp.where(on, 0.0, p.inv_mass[attach_idx]))
+                st = st._replace(particles=p._replace(pos=pos2, inv_mass=w2))
             st = xpbd_step(st, spec, substeps, iterations,
                            rest_filter=rest_filter,
-                           n_shapes_active=e0.n_shapes_fused)
+                           n_shapes_active=e0.n_shapes_fused,
+                           packed_tables=tables0)
             return st, None
 
-        def run_group(state, spec, eefs, rots, gaps, atts, lps, lqs,
-                      attach_idx, attach_rel):
-            def one_chunk(st, inp):
-                st, _ = jax.lax.scan(
-                    lambda s, i: one_step(s, i, spec, attach_idx, attach_rel),
-                    st, inp)
-                return st, st.particles.pos
+        def make_run_group(has_attach: bool):
+            def run_group(state, spec, eefs, rots, gaps, atts, lps, lqs,
+                          attach_idx, attach_rel):
+                tables0 = None
+                if not has_attach and state.particles.pos.shape[0] > 2048:
+                    from adaptigraph_tpu.engine.pallas_kernels import \
+                        pack_contact_tables
+                    p0 = state.particles
+                    n0 = p0.pos.shape[0]
+                    tables0 = pack_contact_tables(
+                        p0.pos, p0.pos, p0.group, p0.inv_mass,
+                        p0.self_collide, p0.active, spec.rest_pos,
+                        tile_j=256 if n0 > 16384 else None)
 
-            st, rec = jax.lax.scan(one_chunk, state,
-                                   (eefs, rots, gaps, atts, lps, lqs))
-            p = st.particles.pos
-            bad = (jnp.isnan(p[:, 0]).any()
-                   | (jnp.abs(jnp.where(st.particles.active[:, None],
-                                        p, 0.0)).max() > 1e3)
-                   | (jnp.asarray(st.contact_overflow, jnp.int32)
-                      > jnp.asarray(state.contact_overflow, jnp.int32)))
-            return st, rec, bad
+                def one_chunk(st, inp):
+                    st, _ = jax.lax.scan(
+                        lambda s, i: one_step(s, i, spec, attach_idx,
+                                              attach_rel, has_attach, tables0),
+                        st, inp)
+                    return st, st.particles.pos
 
-        self._vmapped = jax.jit(jax.vmap(run_group))
+                st, rec = jax.lax.scan(one_chunk, state,
+                                       (eefs, rots, gaps, atts, lps, lqs))
+                p = st.particles.pos
+                bad = (jnp.isnan(p[:, 0]).any()
+                       | (jnp.abs(jnp.where(st.particles.active[:, None],
+                                            p, 0.0)).max() > 1e3)
+                       | (jnp.asarray(st.contact_overflow, jnp.int32)
+                          > jnp.asarray(state.contact_overflow, jnp.int32)))
+                return st, rec, bad
+
+            return run_group
+
+        self._vmapped = {True: jax.jit(jax.vmap(make_run_group(True))),
+                         False: jax.jit(jax.vmap(make_run_group(False)))}
 
     def run_pushes(self, actions, group: int | None = None):
         """Execute one push per env (lockstep). actions: (B, 4) in the action
@@ -219,9 +238,11 @@ class BatchSimEnv:
 
         recs = []
         nan_any = np.zeros(b, bool)
+        # static host-side fact: only grasp pushes mutate inv_mass mid-scan
+        has_attach = bool(atts.any())
         for lo in range(0, n_active, group):
             hi = min(lo + group, n_active)
-            self.states, rec, nan = self._vmapped(
+            self.states, rec, nan = self._vmapped[has_attach](
                 self.states, self.specs, jnp.array(eefs[:, lo:hi]),
                 jnp.array(rots[:, lo:hi]), jnp.array(gaps[:, lo:hi]),
                 jnp.array(atts[:, lo:hi]), jnp.array(lps[:, lo:hi]),

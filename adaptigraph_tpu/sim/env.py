@@ -112,7 +112,7 @@ class SimEnv:
             [-self.wkspace_width - 0.6, self.wkspace_height + base_lift, 0.0],
             np.float32)  # flex frame of flex_env.py:127-146's bullet base pos
         self._q_rest = np.zeros(6, np.float32)
-        self._group_fn = None
+        self._group_fns = None
         self.sampled_idx = None
 
     # ---------- shape construction ----------
@@ -247,7 +247,7 @@ class SimEnv:
         # so restores must not read self.build.state later
         self._inv_mass0 = np.asarray(b.state.particles.inv_mass)
         self._eef_prev = None
-        if self._group_fn is None:
+        if self._group_fns is None:
             self._compile_push()
         if not settle:
             return None
@@ -304,61 +304,85 @@ class SimEnv:
 
         group = self.chunk_group
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def group_fn(state, spec, eefs, rots, gaps, atts, lps, lqs,
-                     attach_idx, attach_rel):
-            """`chunk_group` x CHUNK sim steps as one device program,
-            recording particle positions at every CHUNK boundary. Grouped
-            dispatch balances program size (a whole-push program once
-            crashed the remote TPU worker) against per-dispatch tunnel
-            latency; `state` is donated so scene buffers update in place.
-            lps/lqs: per-step arm link poses (.., n_arm, 3)/(.., n_arm, 4)
-            from the IK-tracked FK chain (zero-width when use_robot off)."""
+        def make_group_fn(has_attach: bool):
+            @partial(jax.jit, donate_argnums=(0,))
+            def group_fn(state, spec, eefs, rots, gaps, atts, lps, lqs,
+                         attach_idx, attach_rel):
+                """`chunk_group` x CHUNK sim steps as one device program,
+                recording particle positions at every CHUNK boundary. Grouped
+                dispatch balances program size (a whole-push program once
+                crashed the remote TPU worker) against per-dispatch tunnel
+                latency; `state` is donated so scene buffers update in place.
+                lps/lqs: per-step arm link poses (.., n_arm, 3)/(.., n_arm, 4)
+                from the IK-tracked FK chain (zero-width when use_robot off).
 
-            def one_step(st, inp):
-                eef, rot, gap, att_on, lp, lq = inp
-                tp, tq = env._tool_pose_arrays(eef, rot, gap)
-                new_pos = st.shapes.pos.at[tool_slot0: tool_slot0 + n_tool].set(tp)
-                new_quat = st.shapes.quat.at[tool_slot0: tool_slot0 + n_tool].set(tq)
-                if n_arm:
-                    new_pos = new_pos.at[arm_slot0: arm_slot0 + n_arm].set(lp)
-                    new_quat = new_quat.at[arm_slot0: arm_slot0 + n_arm].set(lq)
-                st = st._replace(shapes=st.shapes.moved_to(new_pos, new_quat))
-                # attachment: move grasped particles with the tool
-                p = st.particles
-                on = att_on > 0  # scalar per step
-                apos = eef[None, :] + (rot @ attach_rel.T).T
-                cur = p.pos[attach_idx]
-                tgt = jnp.where(on, apos, cur)
-                pos2 = p.pos.at[attach_idx].set(tgt)
-                w2 = p.inv_mass.at[attach_idx].set(
-                    jnp.where(on, 0.0, p.inv_mass[attach_idx]))
-                st = st._replace(particles=p._replace(pos=pos2, inv_mass=w2))
-                st = xpbd_step(st, spec, substeps, iterations,
-                               rest_filter=rest_filter,
-                               n_shapes_active=env.n_shapes_fused)
-                return st, None
+                `has_attach` is a static host-side fact about the push: only
+                grasp pushes (cloth) mutate inv_mass mid-scan. Attach-free
+                pushes (rope/granular — all of them) skip the attachment
+                mutations (which were identities anyway) and hoist the
+                contact-table attribute pack to once per group program."""
 
-            def one_chunk(st, inp):
-                st, _ = jax.lax.scan(one_step, st, inp)
-                return st, st.particles.pos
+                tables0 = None
+                if not has_attach and state.particles.pos.shape[0] > 2048:
+                    from adaptigraph_tpu.engine.pallas_kernels import \
+                        pack_contact_tables
+                    p0 = state.particles
+                    n0 = p0.pos.shape[0]
+                    tables0 = pack_contact_tables(
+                        p0.pos, p0.pos, p0.group, p0.inv_mass,
+                        p0.self_collide, p0.active, spec.rest_pos,
+                        tile_j=256 if n0 > 16384 else None)
 
-            st, pos_rec = jax.lax.scan(one_chunk, state,
-                                       (eefs, rots, gaps, atts, lps, lqs))
-            # explosion guard: NaN or escape far outside the workspace
-            # (the reference checks NaN only, flex_env.py:379-381; our
-            # engine's failure mode can also be a finite ejection), plus
-            # dropped contacts from block-sweep overflow — skipped pairs
-            # cause interpenetration the other guards then paper over
-            p = st.particles.pos
-            bad = (jnp.isnan(p[:, 0]).any()
-                   | (jnp.abs(jnp.where(st.particles.active[:, None],
-                                        p, 0.0)).max() > 1e3)
-                   | (jnp.asarray(st.contact_overflow, jnp.int32)
-                      > jnp.asarray(state.contact_overflow, jnp.int32)))
-            return st, pos_rec, bad
+                def one_step(st, inp):
+                    eef, rot, gap, att_on, lp, lq = inp
+                    tp, tq = env._tool_pose_arrays(eef, rot, gap)
+                    new_pos = st.shapes.pos.at[tool_slot0: tool_slot0 + n_tool].set(tp)
+                    new_quat = st.shapes.quat.at[tool_slot0: tool_slot0 + n_tool].set(tq)
+                    if n_arm:
+                        new_pos = new_pos.at[arm_slot0: arm_slot0 + n_arm].set(lp)
+                        new_quat = new_quat.at[arm_slot0: arm_slot0 + n_arm].set(lq)
+                    st = st._replace(shapes=st.shapes.moved_to(new_pos, new_quat))
+                    if has_attach:
+                        # attachment: move grasped particles with the tool
+                        p = st.particles
+                        on = att_on > 0  # scalar per step
+                        apos = eef[None, :] + (rot @ attach_rel.T).T
+                        cur = p.pos[attach_idx]
+                        tgt = jnp.where(on, apos, cur)
+                        pos2 = p.pos.at[attach_idx].set(tgt)
+                        w2 = p.inv_mass.at[attach_idx].set(
+                            jnp.where(on, 0.0, p.inv_mass[attach_idx]))
+                        st = st._replace(particles=p._replace(pos=pos2,
+                                                              inv_mass=w2))
+                    st = xpbd_step(st, spec, substeps, iterations,
+                                   rest_filter=rest_filter,
+                                   n_shapes_active=env.n_shapes_fused,
+                                   packed_tables=tables0)
+                    return st, None
 
-        self._group_fn = group_fn
+                def one_chunk(st, inp):
+                    st, _ = jax.lax.scan(one_step, st, inp)
+                    return st, st.particles.pos
+
+                st, pos_rec = jax.lax.scan(one_chunk, state,
+                                           (eefs, rots, gaps, atts, lps, lqs))
+                # explosion guard: NaN or escape far outside the workspace
+                # (the reference checks NaN only, flex_env.py:379-381; our
+                # engine's failure mode can also be a finite ejection), plus
+                # dropped contacts from block-sweep overflow — skipped pairs
+                # cause interpenetration the other guards then paper over
+                p = st.particles.pos
+                bad = (jnp.isnan(p[:, 0]).any()
+                       | (jnp.abs(jnp.where(st.particles.active[:, None],
+                                            p, 0.0)).max() > 1e3)
+                       | (jnp.asarray(st.contact_overflow, jnp.int32)
+                          > jnp.asarray(state.contact_overflow, jnp.int32)))
+                return st, pos_rec, bad
+
+            return group_fn
+
+        self._group_fns = {True: make_group_fn(True),
+                           False: make_group_fn(False)}
 
     def _push_fn(self, state, spec, eef_traj, rot_traj, gap_traj, attach_idx,
                  attach_rel, attach_active, n_chunks_active=None,
@@ -384,6 +408,8 @@ class SimEnv:
         lq_c = np.asarray(link_quat_traj).reshape(mc, CHUNK, self.n_arm, 4)
         n_active = n_chunks_active or mc
         n_groups = -(-n_active // g)
+        # static host-side fact: only grasp pushes mutate inv_mass mid-scan
+        has_attach = bool(np.any(att_c[:n_active]))
         pos_rec, nan_any = [], False
         st = state
         for gi in range(n_groups):
@@ -392,7 +418,7 @@ class SimEnv:
             sl = slice(lo, hi)
             # tail groups dispatch at their true size: jit caches one program
             # per distinct group length (at most `g` variants)
-            st, pos, nan = self._group_fn(
+            st, pos, nan = self._group_fns[has_attach](
                 st, spec, jnp.array(eef_c[sl]), jnp.array(rot_c[sl]),
                 jnp.array(gap_c[sl]), jnp.array(att_c[sl]),
                 jnp.array(lp_c[sl]), jnp.array(lq_c[sl]),

@@ -262,6 +262,44 @@ class TestSimEnv:
         assert np.linalg.norm(after - before, axis=1).max() > 0.05
         assert len(data[1]) >= 1  # captured at least one frame
 
+    def test_attach_free_fast_path_matches_attach_path(self, tiny_env):
+        """Pushes without grasps dispatch the static has_attach=False scan
+        (skipping the per-frame inv_mass mutation, hoisting the contact
+        tables); it must reproduce the attach-capable scan exactly — the
+        skipped mutations were identities when attach_active == 0."""
+        tiny_env.reset(seed=0)
+        st0 = jax.tree.map(jnp.copy, tiny_env.state)
+        act = np.array([-1.5, 0.1, 0.8, 0.1])
+        plan = tiny_env.plan_push(act)
+        assert not np.any(plan["attach_active"])  # rope pushes never grasp
+
+        n_chunks = min(-(-(plan["t_push"] + tiny_env.settle_steps) // 40),
+                       tiny_env.max_chunks)
+        # drive _push_fn twice, forcing each scan variant by swapping which
+        # group_fn answers for the no-attach key
+        results = {}
+        for forced in (False, True):
+            tiny_env.state = jax.tree.map(jnp.copy, st0)
+            fns = dict(tiny_env._group_fns)
+            fns[False] = tiny_env._group_fns[forced]
+            orig, tiny_env._group_fns = tiny_env._group_fns, fns
+            try:
+                st, pos_rec, _, _, bad = tiny_env._push_fn(
+                    tiny_env.state, tiny_env.spec, plan["eef"], plan["rot"],
+                    plan["gap"], plan["attach_idx"], plan["attach_rel"],
+                    plan["attach_active"], n_chunks_active=n_chunks,
+                    link_pos_traj=plan["link_pos"],
+                    link_quat_traj=plan["link_quat"])
+            finally:
+                tiny_env._group_fns = orig
+            assert not bool(bad[0])
+            results[forced] = (np.asarray(st.particles.pos),
+                               np.asarray(pos_rec))
+        np.testing.assert_allclose(results[False][0], results[True][0],
+                                   atol=1e-7)
+        np.testing.assert_allclose(results[False][1], results[True][1],
+                                   atol=1e-7)
+
     def test_gripper_grasp_cycle(self, monkeypatch):
         """Cloth-style gripper push: grasp pins particles, release restores
         their inverse mass (the donated-buffer regression test)."""
