@@ -251,12 +251,17 @@ def load_checkpoint(ckpt_dir, name, params_like):
 
 
 def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
-          steps_per_call=8, resume=False):
+          steps_per_call=8, resume=False, wall_budget_s=None):
     """resume=True restarts from the `latest` checkpoint (+ optimizer state
     + epoch counter sidecar) when present — campaign trainings on the
     remote TPU can be killed by the hang watchdog and retried without
     losing finished epochs (reference trains in one uninterrupted run,
-    src/dynamics/train/train.py:19-148)."""
+    src/dynamics/train/train.py:19-148).
+
+    wall_budget_s: stop cleanly (checkpoint + history intact) once the
+    next epoch would exceed this wall-clock budget — deadline-driven
+    campaign pipelines must leave room for the rollout evaluation that
+    follows in the same bounded process."""
     dataset_config = config["dataset_config"]
     train_config = config["train_config"]
     out_dir = os.path.join(train_config["out_dir"], dataset_config["data_name"])
@@ -339,7 +344,15 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
             opt_state = replicate(opt_state, mesh)
             print(f"resumed from epoch {epoch0}", flush=True)
 
+    t_start = time.time()
+    epoch_times = []
     for epoch in range(epoch0, n_epochs):
+        if wall_budget_s is not None and epoch_times:
+            spent = time.time() - t_start
+            if spent + max(epoch_times) > wall_budget_s:
+                print(f"wall budget {wall_budget_s:.0f}s: stopping before "
+                      f"epoch {epoch} ({spent:.0f}s spent)", flush=True)
+                break
         t0 = time.time()
         for phase in datasets:
             d = datasets[phase]
@@ -410,7 +423,8 @@ def train(config, epochs=None, iters=None, batch_size=None, mesh=None,
 
         plot_loss_curves(history["train"], history.get("valid"),
                          os.path.join(out_dir, "loss.png"))
-        print(f"epoch {epoch} time {time.time() - t0:.1f}s", flush=True)
+        epoch_times.append(time.time() - t0)
+        print(f"epoch {epoch} time {epoch_times[-1]:.1f}s", flush=True)
     return params, history
 
 

@@ -56,7 +56,10 @@ for mi in "${!mats[@]}"; do
       break
     fi
     echo "[final4] train $MAT attempt $attempt budget ${budget}s $(date)" >> $LOG
-    timeout "$budget" python scripts/train_material.py "$MAT" \
+    # training may use ~60% of the slot; the rest is the rollout's (a
+    # training that eats the whole timeout leaves no evaluation artifact)
+    ADAPTIGRAPH_TRAIN_WALL=$((budget * 60 / 100)) \
+      timeout "$budget" python scripts/train_material.py "$MAT" \
       "${EPOCHS:-40}" "${ITERS:-500}" "${BATCH:-128}" \
       >> "/tmp/final_train_${MAT}.log" 2>&1
     rc=$?

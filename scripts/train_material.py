@@ -37,8 +37,13 @@ if not os.path.exists(f'/root/repo/data/preprocess/{MATERIAL}/positions.pkl'):
 from adaptigraph_tpu.utils import enable_compile_cache
 enable_compile_cache()
 from adaptigraph_tpu.dynamics.train import train
+# leave wall-clock room for the rollout below: the whole script runs under
+# one campaign timeout, and a training that eats the full budget produces
+# no evaluation artifact at all (the r4 final phase sets this)
+wall = os.environ.get("ADAPTIGRAPH_TRAIN_WALL")
 params, history = train(cfg, epochs=EPOCHS, iters=ITERS, batch_size=BATCH,
-                        resume=True)
+                        resume=True,
+                        wall_budget_s=float(wall) if wall else None)
 print(f"[{time.time()-t0:.0f}s] train done: {history['train']}", flush=True)
 
 from adaptigraph_tpu.dynamics.rollout import rollout
