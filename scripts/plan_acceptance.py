@@ -25,13 +25,22 @@ import numpy as np
 
 from adaptigraph_tpu.utils import enable_compile_cache, load_config
 
+if os.environ.get("ADAPTIGRAPH_FORCE_CPU"):
+    # the axon sitecustomize overrides JAX_PLATFORMS; a CPU smoke must not
+    # land on the live TPU next to a campaign (same knob as bench_frame_parts)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 enable_compile_cache()
 
 MATERIAL = sys.argv[1] if len(sys.argv) > 1 else "rope"
 N_ACTIONS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 N_SAMPLE = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
 SEED = int(sys.argv[4]) if len(sys.argv) > 4 else 11
-SAVE = f"/root/repo/data/plan_{MATERIAL}"
+# overridable so CPU smokes never pollute the real artifact/checkpoint dirs
+SAVE = os.environ.get("PLAN_SAVE_DIR", f"/root/repo/data/plan_{MATERIAL}")
+LOG_DIR = os.environ.get("PLAN_LOG_DIR", "/root/repo/data/log")
 
 t0 = time.time()
 tc = load_config(f"planning/{MATERIAL}")["task_config"]
@@ -42,7 +51,7 @@ dyn = load_config(f"dynamics/{MATERIAL}")
 dyn["dataset_config"]["data_dir"] = "/root/repo/data/sim_data"
 dyn["dataset_config"]["prep_data_dir"] = "/root/repo/data/preprocess"
 dyn["dataset_config"]["ratio"] = {"train": [0, 0.75], "valid": [0.75, 1]}
-dyn["train_config"]["out_dir"] = "/root/repo/data/log"
+dyn["train_config"]["out_dir"] = LOG_DIR
 
 import adaptigraph_tpu.planning.plan as plan_mod
 from adaptigraph_tpu.planning.plan import SimPlanEnv, plan
