@@ -16,8 +16,11 @@ from adaptigraph_tpu.ops import box_loss, chamfer
 
 
 def rope_penalty(state_pred, action, state_init, sim_real_ratio: float = 10.0):
-    """Penalize push start points far from the object (losses.py:37-48):
-    a push that never touches the rope wastes an interaction."""
+    """Pusher-spawn collision penalty (losses.py:37-48): exp(-d*100) is
+    maximal when the push START point lies on/inside the rope — the pusher
+    would teleport into the object — and decays to zero a couple of
+    pusher-radii away. The planner therefore prefers pushes that start just
+    outside the object and sweep through it."""
     bsz, n_look, _ = action.shape
     pt = action[..., :2]  # (bsz, n_look, 2) start xz
     state_2d = jnp.concatenate(
