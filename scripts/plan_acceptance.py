@@ -37,7 +37,14 @@ enable_compile_cache()
 MATERIAL = sys.argv[1] if len(sys.argv) > 1 else "rope"
 N_ACTIONS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 N_SAMPLE = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
-SEED = int(sys.argv[4]) if len(sys.argv) > 4 else 11
+# default seeds chosen so the episode's TRUE normalized physics param is
+# clearly away from the PPO's 0.5 prior (recovery is falsifiable: an
+# optimizer that never moves fails) yet not at the [-0.2, 1.2] clamp edge
+# (rope seed 12 -> 0.74, granular seed 41 -> 0.251; scanned via
+# sample_scene + normalize_physics over seeds 0..59)
+DEFAULT_SEEDS = {"rope": 12, "granular": 41, "cloth": 11}
+SEED = (int(sys.argv[4]) if len(sys.argv) > 4
+        else DEFAULT_SEEDS.get(MATERIAL, 11))
 # overridable so CPU smokes never pollute the real artifact/checkpoint dirs
 SAVE = os.environ.get("PLAN_SAVE_DIR", f"/root/repo/data/plan_{MATERIAL}")
 LOG_DIR = os.environ.get("PLAN_LOG_DIR", "/root/repo/data/log")
