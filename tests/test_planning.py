@@ -397,3 +397,27 @@ class TestClothGripperPlan:
             state, jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0, lo[3]]], jnp.float32),
                             (1, 1)), key=jax.random.PRNGKey(2))
         assert np.isfinite(float(res["best_eval_output"]["reward_seqs"][0]))
+
+
+class TestAcceptanceSeeds:
+    def test_default_seeds_are_falsifiable(self):
+        """The planning-acceptance demo (scripts/plan_acceptance.py) pins
+        per-material episode seeds whose TRUE normalized physics param sits
+        clearly away from the optimizer's 0.5 prior (so a do-nothing
+        estimator FAILS recovery) and away from the [-0.2, 1.2] clamp edges
+        (so recovery is well-conditioned). Guard that property against
+        sampler/config drift — the reference's analogous demo relies on a
+        known ~0.04 granularity (README.md:246-258)."""
+        from adaptigraph_tpu.scenes.samplers import sample_scene
+        from adaptigraph_tpu.dynamics.dataset import normalize_physics
+        from adaptigraph_tpu.utils import load_config
+
+        seeds = {"rope": 12, "granular": 41}  # plan_acceptance DEFAULT_SEEDS
+        for mat, seed in seeds.items():
+            pp = load_config(f"dynamics/{mat}")["material_config"][mat][
+                "physics_params"]
+            rng = np.random.RandomState(seed)
+            _, props = sample_scene(mat, rng)
+            t = float(np.atleast_1d(normalize_physics(props, pp))[0])
+            assert 0.2 <= abs(t - 0.5), (mat, t)   # prior can't trivially pass
+            assert 0.1 <= t <= 0.9, (mat, t)       # off the clamp edges
