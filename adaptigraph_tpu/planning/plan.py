@@ -74,7 +74,27 @@ class SimPlanEnv:
         self.cam_extr = self.env.cam_extrinsic_matrix
 
     def get_obs(self):
-        imgs = self.env._render_multiview(np.asarray(self.env.state.particles.pos))
+        # Render the perception frames WITHOUT the tool/arm shapes: the
+        # reference excludes them SEMANTICALLY (GroundingDINO+SAM prompted
+        # with obj_list, perception.py:68-148); the sim double of that
+        # ground-truth segmentation is to hide them from the observation
+        # render — otherwise the depth segmenter keeps the arm/pusher points
+        # (everything above the table) and the perceived state is
+        # contaminated (r4: state_real y up to 2.2 vs rope at ~0.6, flat
+        # 3.0-chamfer PPO landscape).
+        env = self.env
+        shapes = env.state.shapes
+        far = jnp.asarray([1e3, -1e2, 1e3], dtype=shapes.pos.dtype)
+        pos = shapes.pos.at[env.tool_slot0: env.tool_slot0 + env.n_tool].set(far)
+        if getattr(env, "n_arm", 0):
+            pos = pos.at[env.arm_slot0: env.arm_slot0 + env.n_arm].set(far)
+        # the robot side-table (shape slot 2) is furniture the semantic
+        # segmenter would also reject; its right face sits exactly on the
+        # workspace-crop boundary (x = -wkspace_width) and leaks through
+        pos = pos.at[2].set(far)
+        shapes_obs = shapes._replace(pos=pos, prev_pos=pos)
+        imgs = env._render_multiview(np.asarray(env.state.particles.pos),
+                                     shapes=shapes_obs)
         colors = imgs[:, :, :, :3]
         depths = imgs[:, :, :, 4]
         return colors, depths

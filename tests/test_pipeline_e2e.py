@@ -286,3 +286,46 @@ class TestPreprocessTrainRollout:
         finally:
             env_mod.build_scene = orig_build
             env_mod.MATERIAL_CAPS.update(orig_caps)
+
+
+class TestObservationSegmentation:
+    def test_sim_plan_obs_excludes_tool_and_arm(self):
+        """SimPlanEnv.get_obs must be the ground-truth dual of the
+        reference's semantic segmentation (DINO+SAM prompted with obj_list,
+        perception.py:68-148): perceived tabletop points come from OBJECT
+        particles only, never the pusher or the xArm link hulls. r4
+        regression: with the arm/pusher rendered, the depth segmenter kept
+        their points and every PPO replay error was a flat ~3.0 chamfer."""
+        import adaptigraph_tpu.sim.env as env_mod
+        from adaptigraph_tpu.scenes.build import Caps
+        from adaptigraph_tpu.planning.plan import SimPlanEnv
+        from adaptigraph_tpu.planning.perception import PerceptionModule
+        from tests.test_sim import _tiny_build
+
+        orig_build = env_mod.build_scene
+        orig_caps = dict(env_mod.MATERIAL_CAPS)
+        env_mod.build_scene = _tiny_build
+        env_mod.MATERIAL_CAPS["rope"] = Caps(n=64, s=4, c=2, k=4, m=8)
+        try:
+            dg = Config({"dataset": {
+                "obj": "rope", "pusher_len": 1.0, "robot_speed_inv": 20,
+                "screenWidth": 96, "screenHeight": 96, "max_chunks": 4,
+                "settle_steps": 20, "action_space": 2, "camera_view": 1,
+                "fps": False,
+            }})
+            env = SimPlanEnv(dg, seed=3)
+            assert env.env.n_arm > 0, "tiny world must include the arm hulls"
+            colors, depths = env.get_obs()
+            pm = PerceptionModule({"fps_radius": 0.05, "max_nobj": 32,
+                                   "k_filter": 1.0})
+            pts = pm.get_tabletop_points(colors, depths, env.cam_intr,
+                                         env.cam_extr)
+            assert len(pts) > 0
+            particles = np.asarray(env.env.state.particles.pos)[: env.env.n_active]
+            # every perceived point must be near some object particle —
+            # arm/pusher surfaces are >1 unit away from the tiny blob
+            d = np.linalg.norm(pts[:, None] - particles[None], axis=-1).min(1)
+            assert d.max() < 0.5, f"non-object points perceived (max d {d.max():.2f})"
+        finally:
+            env_mod.build_scene = orig_build
+            env_mod.MATERIAL_CAPS.update(orig_caps)
