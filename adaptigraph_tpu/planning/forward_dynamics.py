@@ -24,6 +24,11 @@ from adaptigraph_tpu.ops import build_edges_slotted as build_edges
 from adaptigraph_tpu.planning.actions import decode_action
 
 
+def _negz(x):
+    """Mirror plan frame <-> flex frame (z negation; see make_batched_dynamics)."""
+    return x.at[..., 2].multiply(-1.0)
+
+
 def make_batched_dynamics(model, task_config, eef_y_mode: str = "min"):
     """Build the jitted population rollout.
 
@@ -109,9 +114,20 @@ def make_batched_dynamics(model, task_config, eef_y_mode: str = "min"):
 
             def body(ai, carry):
                 hist, edges_c, pred_rec = carry
+                # The planner works in the PLAN frame (flex z negated,
+                # plan.py flex_to_plan) but the GNN is trained purely on
+                # FLEX-frame episodes; an MLP message net is not
+                # parity-equivariant, and feeding mirrored geometry runs it
+                # out of distribution (measured: 2.1x the validation MSE,
+                # worse than predicting zero motion — r4 PPO pinning at the
+                # -0.2 bound). Mirror in/out at the model boundary: edges
+                # were built from plan-frame states but distances are
+                # mirror-invariant, so the same index lists apply.
                 pred, _ = model.apply(
-                    {"params": params}, hist, attrs, edges_c[0], edges_c[1],
-                    edges_c[2], p_instance, physics, action=delta)
+                    {"params": params}, _negz(hist), attrs, edges_c[0],
+                    edges_c[1], edges_c[2], p_instance, physics,
+                    action=_negz(delta))
+                pred = _negz(pred)
                 pred = jnp.where(mask[:, None], pred, 0.0)
                 pred_rec = jnp.where(repeats == ai, pred, pred_rec)
                 y_cur = obj_y(pred, mask)

@@ -270,6 +270,41 @@ class TestBatchedDynamics:
         np.testing.assert_array_equal(np.asarray(out_full["state_seqs"]),
                                       np.asarray(out_odd["state_seqs"]))
 
+    def test_model_sees_flex_frame(self):
+        """The planner works in the plan frame (flex z negated) but the GNN
+        is trained on flex-frame episodes only, and an MLP message net is not
+        parity-equivariant — the rollout must mirror at the model boundary
+        (measured 2.1x validation-MSE degradation feeding mirrored geometry;
+        r4 PPO pinned at the search bound). Probe with a fake model that
+        shifts every object point by +1 in z IN THE FRAME IT RECEIVES: the
+        plan-frame output must come back shifted by -1 in z."""
+        from adaptigraph_tpu.planning.forward_dynamics import make_batched_dynamics
+
+        class FakeModel:
+            def apply(self, variables, hist, attrs, recv, send, valid,
+                      p_instance, physics, action=None):
+                n_obj = p_instance.shape[0]
+                pred = hist[-1, :n_obj] + jnp.array([0.0, 0.0, 1.0])
+                return pred, None
+
+        task = {
+            "pusher_points": [[0.0, 0.0, 0.1]], "sim_real_ratio": 10,
+            "push_length": 0.2, "adj_thresh": 0.5, "topk": 5,
+            "connect_tools_all": False, "max_nR": 200, "n_his": 4,
+            "gripper_enable": False, "action_lower_lim": [-4.5, -2.5, -3.14, 2],
+            "action_upper_lim": [0.0, 4.5, 3.14, 2],
+        }
+        nobj = 12
+        state = jnp.array(np.random.RandomState(3).rand(nobj, 3), jnp.float32)
+        mask = jnp.ones(nobj, bool)
+        acts = jnp.array([[[-1.0, 0.5, 0.3, 2.0]]])  # 2 repeats
+        out = make_batched_dynamics(FakeModel(), task)(
+            {}, state, mask, acts, jnp.array([0.5]))
+        np.testing.assert_allclose(
+            np.asarray(out["state_seqs"][0, 0]),
+            np.asarray(state) + np.array([0.0, 0.0, -2.0], np.float32),
+            atol=1e-5)
+
 
 class TestPPORecovery:
     def test_ppo_recovers_known_param(self, tmp_path):
