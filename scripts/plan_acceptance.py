@@ -40,9 +40,18 @@ N_SAMPLE = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
 # default seeds chosen so the episode's TRUE normalized physics param is
 # clearly away from the PPO's 0.5 prior (recovery is falsifiable: an
 # optimizer that never moves fails) yet not at the [-0.2, 1.2] clamp edge
-# (rope seed 12 -> 0.74, granular seed 41 -> 0.251; scanned via
-# sample_scene + normalize_physics over seeds 0..59)
-DEFAULT_SEEDS = {"rope": 12, "granular": 41, "cloth": 11}
+# (granular seed 41 -> 0.251; scanned via sample_scene +
+# normalize_physics over seeds 0..59).
+# Rope uses seed 59 (valid split, true 0.158): the rope param must sit in
+# the LOW-stiffness mode — the identifiable branch of the reference's
+# bimodal stiffness map (src/sim/sim_env/scenes.py:24-30). High-stiffness
+# ropes are physically degenerate over short pushes (stiff vs very stiff
+# produce near-identical chamfer), so replay error is flat/noisy there:
+# a param-input sweep of the trained model over sim triples with known
+# labels recovers true 0.026->est ~0.05 and 0.23->~0.0 but is flat at
+# true 0.97 (r4 param probe); seed 12 (true 0.74) pinned the GP at the
+# box edge for exactly this reason.
+DEFAULT_SEEDS = {"rope": 59, "granular": 41, "cloth": 11}
 SEED = (int(sys.argv[4]) if len(sys.argv) > 4
         else DEFAULT_SEEDS.get(MATERIAL, 11))
 # overridable so CPU smokes never pollute the real artifact/checkpoint dirs
