@@ -37,7 +37,7 @@ from adaptigraph_tpu.utils import enable_compile_cache
 enable_compile_cache()
 
 
-def bench_pbd(n=5120, t=100, trials=5, contact_mode=None):
+def bench_pbd(n=5120, t=500, trials=5, contact_mode=None):
     """XPBD frames/s at the 5k-particle rope design point — the REAL rope
     scene the framework ships (scenes.build_scene: lattice + ball-cover
     shape-matching clusters + global cluster + floor + pusher), length-
@@ -45,7 +45,13 @@ def bench_pbd(n=5120, t=100, trials=5, contact_mode=None):
     iterations), with the box pusher SWEEPING THROUGH the rope across the
     trajectory so kinematic-shape and particle contacts are genuinely
     exercised (a resting rope's early-out contact path would flatter the
-    number). Same code path `SimEnv` runs for episode generation."""
+    number). Same code path `SimEnv` runs for episode generation.
+
+    t=500 frames per timed program: each axon program execution carries a
+    ~25-30 ms host<->TPU tunnel floor (CLAUDE.md); at t=100 that floor is
+    ~30% of a ~65 ms run and the reported steps/s is the tunnel's, not the
+    solver's. 500 frames puts the floor under ~8% while keeping per-frame
+    work identical."""
     from adaptigraph_tpu.engine import rollout_steps
     from adaptigraph_tpu.engine.state import SHAPE_BOX, SHAPE_PLANE, make_shapes
     from adaptigraph_tpu.scenes import build_scene
@@ -95,7 +101,7 @@ def bench_pbd(n=5120, t=100, trials=5, contact_mode=None):
     return med, (vals[-1] - vals[0])
 
 
-def bench_pbd_batch(n=5120, t=100, trials=5, n_env=4, contact_mode="block"):
+def bench_pbd_batch(n=5120, t=250, trials=5, n_env=4, contact_mode="block"):
     """Aggregate XPBD frames/s with `n_env` environments vmapped into ONE
     device program — the exact configuration batched data generation runs
     (sim/batch_env.py; rope batch-8 campaigns use this path on hardware).
