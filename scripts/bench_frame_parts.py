@@ -194,6 +194,51 @@ def real_case():
                       spec.global_stiffness, st.global_rot)[0] * 1e-6 + x,
                   pos)
 
+    # ---- per-ITERATION parts at the real design point (x8 per 2x4 frame):
+    # the residual frame time after the r4 trim/hoist is unattributed
+    # (VERDICT r3 #5); measure each op the fori_loop body actually runs ----
+    from adaptigraph_tpu.engine.pallas_kernels import (
+        block_sparse_contact_deltas_packed, update_contact_tables)
+    from adaptigraph_tpu.engine.solver import _spring_deltas_offset
+
+    tables0 = pack_contact_tables(pos, pos, p.group, p.inv_mass,
+                                  p.self_collide, p.active, spec.rest_pos)
+    bi0, bc0, _ = tile_overlap_blocks(_pad_tile(pos), _pad_tile_mask(p.active),
+                                      prm.radius * 1.5, max_blocks=40)
+    bi0, bc0 = refine_overlap_blocks_packed(
+        n, *tables0, prm.solid_rest_distance * 1.05,
+        prm.collide_filter_dist, bi0, bc0)
+
+    def upd_tables(x):
+        r, c = update_contact_tables(*tables0, x)
+        return x + 1e-6 * (r[0, 0] + c[0, 0])
+
+    scan_time("REAL update_contact_tables(pos)", upd_tables, pos)
+
+    def sweep_only(x):
+        r, c = update_contact_tables(*tables0, x)
+        d, cnt = block_sparse_contact_deltas_packed(
+            n, r, c, prm.solid_rest_distance, prm.particle_friction,
+            prm.collide_filter_dist, bi0, bc0)
+        return x + 1e-6 * d
+
+    scan_time("REAL update+sweep (refined blocks)", sweep_only, pos)
+
+    if spec.offset_springs is not None and len(spec.offset_springs.offsets):
+        def springs_only(x):
+            d, cnt = _spring_deltas_offset(x, p.inv_mass, spec.offset_springs)
+            return x + 1e-6 * d
+
+        scan_time("REAL offset-spring pass", springs_only, pos)
+
+    def integrate_only(x):
+        vel = (x - pos) / 0.016 + jnp.array([0.0, 1.0, 0.0]) * (-9.8 * 0.016)
+        speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+        vel = vel * jnp.minimum(1.0, prm.max_speed / (speed + 1e-8))
+        return x + vel * 1e-6
+
+    scan_time("REAL integrate-ish overhead", integrate_only, pos)
+
 
 
 if __name__ == "__main__" and not ("--tiles" in sys.argv
