@@ -425,13 +425,27 @@ def main():
     ap.add_argument("--out", type=str, default="data/sim_data")
     ap.add_argument("--screen", type=int, default=0,
                     help="override screenWidth/Height (0 = keep config)")
+    ap.add_argument("--seeds", type=str, default="",
+                    help="comma-separated explicit episode seeds (overrides "
+                         "--base/--n-episode; batched in --batch groups). "
+                         "Lets a campaign batch non-contiguous seeds chosen "
+                         "by particle bucket (small buckets run ~5-10x "
+                         "faster and equal-bucket seeds share one compile)")
     args = ap.parse_args()
     config = load_config(args.config)
     if args.screen:
         config["dataset"]["screenWidth"] = args.screen
         config["dataset"]["screenHeight"] = args.screen
-    for lo in range(args.base, args.base + args.n_episode, args.batch):
-        seeds = list(range(lo, min(lo + args.batch, args.base + args.n_episode)))
+    if args.seeds:
+        seed_list = [int(s) for s in args.seeds.split(",") if s.strip()]
+        groups = [seed_list[i:i + args.batch]
+                  for i in range(0, len(seed_list), args.batch)]
+    else:
+        groups = [list(range(lo, min(lo + args.batch,
+                                     args.base + args.n_episode)))
+                  for lo in range(args.base, args.base + args.n_episode,
+                                  args.batch)]
+    for seeds in groups:
         try:
             generate_batch(config, seeds, args.out)
         except Exception as e:  # e.g. remote TPU worker crash/restart —
