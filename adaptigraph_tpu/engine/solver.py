@@ -49,6 +49,42 @@ _EPS = 1e-9
 _TILE = 128
 
 
+def auto_contact_mode(n: int) -> str:
+    """Contact-sweep implementation for an `n`-particle scene: small scenes
+    use the plain dense sweep (no culling overhead); at scale the
+    AABB-culled block sweep skips far tile pairs. SINGLE source of truth —
+    callers that pre-pack contact tables (SimEnv/BatchSimEnv/rollout_steps)
+    must agree with xpbd_step or they pack tables it ignores (ADVICE r4 #3).
+    """
+    return "dense" if n <= 2048 else "block"
+
+
+def auto_tile_j(n: int) -> int:
+    """Contact-sweep column-tile width for an `n`-row scene. At 32k rows the
+    128-wide sweep needs >64 column blocks per row tile for dense piles, but
+    (nb, maxb) SMEM at 256x128 blows the ~64 KB budget — coarsen to 256-wide
+    tiles (half the blocks, nb halves, maxb stays 128). Overflowing blocks
+    are a HARD failure (folded into the explosion guard), so this threshold
+    must match between the packer and the sweep."""
+    return 256 if n > 16384 else _TILE
+
+
+def pack_tables_for(particles: ParticleState, spec: SceneSpec):
+    """Pack the frame-constant contact attribute tables for `particles` iff
+    the auto-selected contact mode is 'block'; None otherwise (the dense
+    sweep takes no tables). Use this from every pre-packing call site so the
+    mode/tile thresholds stay in lockstep with xpbd_step's auto-selection."""
+    from adaptigraph_tpu.engine.pallas_kernels import pack_contact_tables
+
+    n = particles.pos.shape[0]
+    if auto_contact_mode(n) != "block":
+        return None
+    return pack_contact_tables(
+        particles.pos, particles.pos, particles.group, particles.inv_mass,
+        particles.self_collide, particles.active, spec.rest_pos,
+        tile_j=auto_tile_j(n))
+
+
 def _pad_tile(x, t: int = _TILE):
     return jnp.pad(x, ((0, (-x.shape[0]) % t),) + ((0, 0),) * (x.ndim - 1))
 
@@ -562,19 +598,10 @@ def xpbd_step(state: SceneState, spec: SceneSpec, substeps: int, iterations: int
         elif dense_contacts is False:
             contact_mode = "sparse"
         else:
-            # small scenes: the plain dense sweep has no culling overhead;
-            # at scale the AABB-culled block sweep skips far tile pairs
-            contact_mode = "dense" if n <= 2048 else "block"
+            contact_mode = auto_contact_mode(n)
     interpret = jax.default_backend() == "cpu"
     rest_filter = True if rest_filter is None else rest_filter
-    # auto tile width: at 32k rows the 128-wide sweep needs >64 column
-    # blocks per row tile for dense piles (a central granule touches ~10
-    # neighbors x ~8 tiles each), but (nb, maxb) SMEM at 256x128 blows the
-    # ~64 KB budget — coarsen to 256-wide tiles instead: half the blocks
-    # needed, nb halves, maxb can stay 128 (parity: tests/test_pallas_kernels
-    # tile_j=256). Overflowing blocks are a HARD failure since the guard
-    # folds overflow into the explosion indicator.
-    tj = contact_tile_j or (256 if n > 16384 else _TILE)
+    tj = contact_tile_j or auto_tile_j(n)
     nbr_idx = eligible = share = blocks = tables = None
     overflow = jnp.int32(0)
     if contact_mode == "block":
@@ -690,10 +717,10 @@ def rollout_steps(state: SceneState, spec: SceneSpec, shape_pos_traj, shape_quat
     n = p.pos.shape[0]
     eff_mode = contact_mode
     if eff_mode is None:
-        eff_mode = "dense" if n <= 2048 else "block"
+        eff_mode = auto_contact_mode(n)
     tables0 = None
     if eff_mode == "block":
-        tj = contact_tile_j or (256 if n > 16384 else _TILE)
+        tj = contact_tile_j or auto_tile_j(n)
         tables0 = pack_contact_tables(p.pos, p.pos, p.group, p.inv_mass,
                                       p.self_collide, p.active, spec.rest_pos,
                                       tile_j=tj)

@@ -166,15 +166,25 @@ def make_batched_dynamics(model, task_config, eef_y_mode: str = "min"):
             return jax.vmap(rollout_one, in_axes=(None, 0, 0, 0, 0))(
                 params, sb, mb, ab, pb)
 
-        if chunk_size and s > chunk_size and s % chunk_size == 0:
-            k = s // chunk_size
+        if chunk_size and s > chunk_size:
+            # pad the population to the next chunk multiple (repeat sample
+            # 0; outputs sliced back below) — a non-divisible population
+            # must NOT silently fall back to one full vmap, which re-opens
+            # the ~8 GB live-activation OOM the chunking bounds
+            # (BENCH_r03; ADVICE r4 #2)
+            pad = (-s) % chunk_size
+            k = (s + pad) // chunk_size
 
             def resh(x):
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.tile(x[:1], (pad,) + (1,) * (x.ndim - 1))],
+                        axis=0)
                 return x.reshape((k, chunk_size) + x.shape[1:])
 
             seqs = jax.lax.map(run, (resh(state_b), resh(mask_b),
                                      resh(actions), resh(phys_b)))
-            seqs = seqs.reshape((s,) + seqs.shape[2:])
+            seqs = seqs.reshape((s + pad,) + seqs.shape[2:])[:s]
         else:
             seqs = run((state_b, mask_b, actions, phys_b))
         decoded, _ = decode_action(actions, push_length)

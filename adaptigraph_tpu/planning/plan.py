@@ -88,10 +88,11 @@ class SimPlanEnv:
         pos = shapes.pos.at[env.tool_slot0: env.tool_slot0 + env.n_tool].set(far)
         if getattr(env, "n_arm", 0):
             pos = pos.at[env.arm_slot0: env.arm_slot0 + env.n_arm].set(far)
-        # the robot side-table (shape slot 2) is furniture the semantic
-        # segmenter would also reject; its right face sits exactly on the
-        # workspace-crop boundary (x = -wkspace_width) and leaks through
-        pos = pos.at[2].set(far)
+        # the robot side-table is furniture the semantic segmenter would
+        # also reject; its right face sits exactly on the workspace-crop
+        # boundary (x = -wkspace_width) and leaks through. Slot recorded by
+        # SimEnv._build_shapes, mirroring tool_slot0/arm_slot0 (ADVICE r4 #4)
+        pos = pos.at[env.table_slot].set(far)
         shapes_obs = shapes._replace(pos=pos, prev_pos=pos)
         imgs = env._render_multiview(np.asarray(env.state.particles.pos),
                                      shapes=shapes_obs)

@@ -153,15 +153,11 @@ class BatchSimEnv:
             def run_group(state, spec, eefs, rots, gaps, atts, lps, lqs,
                           attach_idx, attach_rel):
                 tables0 = None
-                if not has_attach and state.particles.pos.shape[0] > 2048:
-                    from adaptigraph_tpu.engine.pallas_kernels import \
-                        pack_contact_tables
-                    p0 = state.particles
-                    n0 = p0.pos.shape[0]
-                    tables0 = pack_contact_tables(
-                        p0.pos, p0.pos, p0.group, p0.inv_mass,
-                        p0.self_collide, p0.active, spec.rest_pos,
-                        tile_j=256 if n0 > 16384 else None)
+                if not has_attach:
+                    # mode/tile thresholds live in solver.pack_tables_for —
+                    # one source of truth with xpbd_step (ADVICE r4 #3)
+                    from adaptigraph_tpu.engine.solver import pack_tables_for
+                    tables0 = pack_tables_for(state.particles, spec)
 
                 def one_chunk(st, inp):
                     st, _ = jax.lax.scan(

@@ -136,6 +136,10 @@ class SimEnv:
                  np.array([rtw, robot_table_h, rtw])]
         poses = [np.zeros(3), np.zeros(3),
                  np.array([-self.wkspace_width - rtw, 0.0, 0.0])]
+        # robot side-table slot, recorded for consumers that need to hide
+        # furniture from observation renders (planning get_obs) — a layout
+        # change here then cannot silently hide the wrong shape (ADVICE r4 #4)
+        self.table_slot = 2
         tk, ts = self._tool_slots()
         self.tool_slot0 = len(kinds)
         self.n_tool = len(tk)
@@ -323,15 +327,11 @@ class SimEnv:
                 contact-table attribute pack to once per group program."""
 
                 tables0 = None
-                if not has_attach and state.particles.pos.shape[0] > 2048:
-                    from adaptigraph_tpu.engine.pallas_kernels import \
-                        pack_contact_tables
-                    p0 = state.particles
-                    n0 = p0.pos.shape[0]
-                    tables0 = pack_contact_tables(
-                        p0.pos, p0.pos, p0.group, p0.inv_mass,
-                        p0.self_collide, p0.active, spec.rest_pos,
-                        tile_j=256 if n0 > 16384 else None)
+                if not has_attach:
+                    # mode/tile thresholds live in solver.pack_tables_for —
+                    # one source of truth with xpbd_step (ADVICE r4 #3)
+                    from adaptigraph_tpu.engine.solver import pack_tables_for
+                    tables0 = pack_tables_for(state.particles, spec)
 
                 def one_step(st, inp):
                     eef, rot, gap, att_on, lp, lq = inp

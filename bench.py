@@ -20,11 +20,32 @@ the 5k-particle part of the north star).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Budget armor (BENCH_r04 post-mortem: rc=124, parsed=null — the run was
+killed by the DRIVER's outer timeout after ~7 healthy phases and the single
+end-of-run print lost every number already measured):
+  * internal wall-clock deadline (ADAPTIGRAPH_BENCH_DEADLINE, default
+    1500 s) — phases that don't fit the remaining budget are skipped with
+    status 'skipped_budget', never started;
+  * headline-first ordering — pbd block, gnn slotmm+bf16, mppi land
+    before any comparison/probe phase;
+  * incremental emission — per-phase results persist to
+    data/profiles/bench_partial.json as they land, and the best-known
+    summary line prints from an atexit/SIGTERM handler, so even an
+    external kill yields a parsable artifact.
 """
 
+import atexit
 import json
+import os
+import signal
 import sys
 import time
+
+_T0 = time.time()
+DEADLINE_S = float(os.environ.get("ADAPTIGRAPH_BENCH_DEADLINE", "1500"))
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "profiles", "bench_partial.json")
 
 sys.path.insert(0, "/root/repo")
 
@@ -37,7 +58,7 @@ from adaptigraph_tpu.utils import enable_compile_cache
 enable_compile_cache()
 
 
-def bench_pbd(n=5120, t=500, trials=5, contact_mode=None):
+def bench_pbd(n=5120, t=500, trials=3, contact_mode=None):
     """XPBD frames/s at the 5k-particle rope design point — the REAL rope
     scene the framework ships (scenes.build_scene: lattice + ball-cover
     shape-matching clusters + global cluster + floor + pusher), length-
@@ -101,7 +122,7 @@ def bench_pbd(n=5120, t=500, trials=5, contact_mode=None):
     return med, (vals[-1] - vals[0])
 
 
-def bench_pbd_batch(n=5120, t=250, trials=5, n_env=4, contact_mode="block"):
+def bench_pbd_batch(n=5120, t=250, trials=3, n_env=4, contact_mode="block"):
     """Aggregate XPBD frames/s with `n_env` environments vmapped into ONE
     device program — the exact configuration batched data generation runs
     (sim/batch_env.py; rope batch-8 campaigns use this path on hardware).
@@ -380,89 +401,49 @@ def _mppi_subprocess(agg: str, dtype: str, timeout_s: int = 900):
     return (float(g[0]) if g else None), status
 
 
-def main(backend):
-    # INVARIANT: the parent NEVER initializes the jax backend — only one
-    # process can hold the TPU (CLAUDE.md), so a parent that calls
-    # jax.default_backend()/any device op starves every child phase AND the
-    # _backend_reachable probes: each child blocks in backend init until its
-    # timeout and the bench degrades to nothing (observed r3s9: the first
-    # child burned its full 900 s with the parent wedged in probe loops).
-    # Every chip phase runs in a bounded child (_child); a wedged worker
-    # costs one phase, never the whole artifact.
-    #
-    # PBD: same scene/physics either way — 'block' (AABB-culled tile sweep)
-    # vs 'dense' (all-pairs) is an implementation choice whose crossover
-    # point is hardware-dependent; measure both and report the best.
-    aborted = False
-    phases = {}  # structured per-phase status (VERDICT r3 weak #4)
-    pbd_by_mode = {}
-    pbd_spread = {}
-    for m in ("block", "dense"):
-        v, phases[f"pbd_{m}"] = _pbd_variant_subprocess(m)
-        if v is not None:
-            pbd_by_mode[m], pbd_spread[m] = v
-        elif not _backend_reachable():
-            aborted = True
-            break  # worker down and not coming back; report what we have
+# ---------------------------------------------------------------------------
+# Result accumulator + guaranteed emission (BENCH_r04 post-mortem armor).
+# RES is module-global so the atexit/SIGTERM printer can always build the
+# best-known summary; _print_summary is idempotent (prints at most once).
+RES = {
+    "pbd_by_mode": {},   # mode -> steps/s
+    "pbd_spread": {},    # mode -> max-min across trials
+    "pbd_batch": None,   # 4-env aggregate steps/s
+    "gnn_by_mode": {},   # key -> (steps/s, flops/s); key e.g. 'slotmm+bf16@2048'
+    "gnn_batches": {},   # key -> batch size
+    "mppi": None,
+    "phases": {},        # phase name -> ok|timeout|oom|parse|rc=N|skipped_budget
+    "backend": None,
+    "aborted": False,
+}
+_PRINTED = False
+
+
+def _remaining():
+    return DEADLINE_S - (time.time() - _T0)
+
+
+def _summary():
+    """Build the headline JSON dict from whatever RES holds right now."""
+    pbd_by_mode, pbd_spread = RES["pbd_by_mode"], RES["pbd_spread"]
+    by_mode, batches = RES["gnn_by_mode"], RES["gnn_batches"]
     pbd_mode = max(pbd_by_mode, key=pbd_by_mode.get) if pbd_by_mode else None
     pbd = pbd_by_mode[pbd_mode] if pbd_by_mode else 0.0
-    # aggregate 4-env vmapped variant (the batched data-gen configuration)
-    pbd_batch = None
-    if not aborted:
-        v, phases["pbd_batch4"] = _pbd_variant_subprocess("batch4")
-        pbd_batch = v[0] if v else None
-        if v is None and not _backend_reachable():
-            aborted = True
-
-    by_mode = {}
-    if not aborted:
-        for mode in ("matmul", "slotted", "slotmm"):
-            v, phases[f"gnn_{mode}"] = _gnn_subprocess(mode, "f32")
-            if v is not None:
-                by_mode[mode] = v
-            elif not _backend_reachable():
-                aborted = True
-                break
-    best_mode = (max(by_mode, key=lambda m: by_mode[m][0])
-                 if by_mode else None)
-    # bf16 variant of the winning mode: MXU-native input type + halved
-    # activation HBM traffic. Params stay f32; prediction deviation vs f32
-    # is test-bounded (tests/test_model_modes.py) and the planning rollout
-    # path honors ADAPTIGRAPH_GNN_DTYPE=bf16, so this is a real serving
-    # configuration, not a synthetic one.
-    if best_mode is not None and not aborted:
-        v, phases[f"gnn_{best_mode}_bf16"] = _gnn_subprocess(best_mode, "bf16")
-        if v is not None:
-            by_mode[best_mode + "+bf16"] = v
-    best_key = max(by_mode, key=lambda m: by_mode[m][0]) if by_mode else None
-    best_dtype = ("bf16" if best_key and best_key.endswith("+bf16")
-                  else "f32")
-    # batch-scaling probe of the winning config: larger graph batches
-    # amortize the per-step edge rebuild and raise MXU occupancy (VERDICT
-    # r3 weak #3, gnn_mfu 0.008 at batch 512 = chip ~99% idle). The MPPI
-    # serving load is 20k samples, so batch 2048/4096 is a REAL serving
-    # configuration, not a synthetic one.
-    batches = {k: 512 for k in by_mode}
-    if best_key is not None and not aborted:
-        bm = best_key.replace("+bf16", "")
-        for bs in (2048, 4096):
-            v, phases[f"gnn_batch{bs}"] = _gnn_subprocess(bm, best_dtype,
-                                                          batch=bs)
-            if v is not None:
-                by_mode[f"{best_key}@{bs}"] = v
-                batches[f"{best_key}@{bs}"] = bs
-    best_key = max(by_mode, key=lambda m: by_mode[m][0]) if by_mode else None
-    gnn, gnn_flops_per_s = by_mode[best_key] if by_mode else (0.0, float("nan"))
-    gnn_batch = batches.get(best_key, 512)
-    mppi = None
-    if not (aborted or best_mode is None):
-        mppi, phases["mppi"] = _mppi_subprocess(best_mode, best_dtype)
+    best_key = (max(by_mode, key=lambda m: by_mode[m][0])
+                if by_mode else None)
+    gnn, gnn_flops_per_s = (by_mode[best_key] if by_mode
+                            else (0.0, float("nan")))
+    best_dtype = "bf16" if best_key and "+bf16" in best_key else "f32"
+    best_mode = (best_key.split("+")[0].split("@")[0]
+                 if best_key else None)
     combined = pbd + gnn
     # v5e (TPU v5 lite) peak: ~197 TFLOP/s bf16 / ~98.5 f32 MXU; report
     # utilization against the peak of the dtype that actually ran.
     peak = 197e12 if best_dtype == "bf16" else 98.5e12
-    mfu = gnn_flops_per_s / peak if gnn_flops_per_s == gnn_flops_per_s else None
-    print(json.dumps({
+    mfu = (gnn_flops_per_s / peak
+           if gnn_flops_per_s == gnn_flops_per_s else None)
+    mppi = RES["mppi"]
+    return {
         "metric": "combined PBD+GNN rollout steps/s (real 5120-particle rope "
                   "scene w/ swept pusher + batched 100-node GNN w/ per-step "
                   "edge rebuild) per chip",
@@ -473,21 +454,164 @@ def main(backend):
         "pbd_contact_mode": pbd_mode,
         "pbd_by_mode": {m: round(v, 1) for m, v in pbd_by_mode.items()},
         "pbd_spread": {m: round(v, 1) for m, v in pbd_spread.items()},
-        "pbd_steps_per_s_4env": (round(pbd_batch, 1)
-                                 if pbd_batch is not None else None),
+        "pbd_steps_per_s_4env": (round(RES["pbd_batch"], 1)
+                                 if RES["pbd_batch"] is not None else None),
         "gnn_graph_steps_per_s": round(gnn, 1),
         "gnn_agg_mode": best_mode,
         "gnn_dtype": best_dtype,
-        "gnn_batch": gnn_batch,
+        "gnn_batch": batches.get(best_key, 512),
         "gnn_by_mode": {m: round(v[0], 1) for m, v in by_mode.items()},
         "gnn_mfu": round(mfu, 4) if mfu is not None else None,
         "mppi_samples_per_s": round(mppi, 1) if mppi is not None else None,
         "mppi_error": (None if mppi is not None
-                       else phases.get("mppi", "not_run")),
-        "phases": phases,
-        "backend": backend,
-        "aborted_early": aborted,
-    }))
+                       else RES["phases"].get("mppi", "not_run")),
+        "phases": RES["phases"],
+        "backend": RES["backend"],
+        "aborted_early": RES["aborted"],
+        "deadline_s": DEADLINE_S,
+        "elapsed_s": round(time.time() - _T0, 1),
+    }
+
+
+def _persist_partial():
+    """Write the best-known summary to disk after every phase — a killed
+    run leaves a complete on-disk record even if stdout is lost."""
+    try:
+        os.makedirs(os.path.dirname(PARTIAL_PATH), exist_ok=True)
+        tmp = PARTIAL_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(_summary(), f, indent=1)
+        os.replace(tmp, PARTIAL_PATH)
+    except OSError:
+        pass
+
+
+def _print_summary():
+    """Print the one headline JSON line — exactly once per process.
+
+    Wired to atexit AND SIGTERM so the driver's outer timeout (which sends
+    SIGTERM first) still gets a parsable artifact with every number
+    measured so far (the r4 failure mode: 7 healthy phases, zero output)."""
+    global _PRINTED
+    if _PRINTED or not RES.get("_started"):
+        return
+    _PRINTED = True
+    print(json.dumps(_summary()), flush=True)
+
+
+def _on_term(signum, frame):
+    RES["phases"]["_killed"] = f"signal={signum}"
+    _persist_partial()
+    _print_summary()
+    # raise (not os.kill) so the stack unwinds: subprocess.run's Popen
+    # context manager kills any live child — an orphaned child would hold
+    # the single-tenant TPU and starve whatever the driver runs next
+    raise SystemExit(128 + signum)
+
+
+def _run_phase(name, fn, *args, cap_s=600, min_s=120, **kw):
+    """Run one child phase iff it fits the remaining deadline budget.
+
+    cap_s bounds the child; min_s is the smallest budget worth starting a
+    child with (cold remote compiles alone can take minutes — a child that
+    cannot plausibly finish just burns the budget of later phases)."""
+    rem = _remaining()
+    if rem < min_s:
+        print(f"[bench] skip {name}: {rem:.0f}s left < {min_s}s",
+              file=sys.stderr, flush=True)
+        RES["phases"][name] = "skipped_budget"
+        _persist_partial()
+        return None
+    v, RES["phases"][name] = fn(*args, timeout_s=int(min(cap_s, rem)), **kw)
+    _persist_partial()
+    return v
+
+
+def main(backend):
+    # INVARIANT: the parent NEVER initializes the jax backend — only one
+    # process can hold the TPU (CLAUDE.md), so a parent that calls
+    # jax.default_backend()/any device op starves every child phase AND the
+    # _backend_reachable probes: each child blocks in backend init until its
+    # timeout and the bench degrades to nothing (observed r3s9: the first
+    # child burned its full 900 s with the parent wedged in probe loops).
+    # Every chip phase runs in a bounded child (_child); a wedged worker
+    # costs one phase, never the whole artifact.
+    #
+    # Phase order is HEADLINE-FIRST (BENCH_r04 post-mortem): the three
+    # numbers the round is judged on — pbd block, gnn slotmm+bf16 (the
+    # known winner, BENCH_r03 gnn_by_mode), mppi — land before any
+    # comparison or probe phase, so an early kill costs breadth, never the
+    # headline.
+    RES["backend"] = backend
+    RES["_started"] = True
+
+    # -- headline 1: PBD, block contact mode (best mode every round so far)
+    v = _run_phase("pbd_block", _pbd_variant_subprocess, "block", cap_s=600)
+    if v is not None:
+        RES["pbd_by_mode"]["block"], RES["pbd_spread"]["block"] = v
+    elif (RES["phases"]["pbd_block"] != "skipped_budget"
+          and not _backend_reachable()):
+        RES["aborted"] = True
+
+    # -- headline 2: GNN, slotmm+bf16 (winning serving config, BENCH_r03)
+    hmode, hdtype = "slotmm", "bf16"
+    if not RES["aborted"]:
+        v = _run_phase("gnn_slotmm_bf16", _gnn_subprocess, hmode, hdtype,
+                       cap_s=600)
+        if v is not None:
+            RES["gnn_by_mode"]["slotmm+bf16"] = v
+            RES["gnn_batches"]["slotmm+bf16"] = 512
+        elif (RES["phases"]["gnn_slotmm_bf16"] != "skipped_budget"
+              and not _backend_reachable()):
+            RES["aborted"] = True
+
+    # -- headline 3: MPPI at the 20k reference load (chunked serving path)
+    if not RES["aborted"]:
+        v = _run_phase("mppi", _mppi_subprocess, hmode, hdtype, cap_s=600)
+        if v is not None:
+            RES["mppi"] = v
+        elif RES["phases"]["mppi"] not in ("skipped_budget",) \
+                and not _backend_reachable():
+            RES["aborted"] = True
+
+    # -- extras, in decreasing value-per-second, budget permitting --------
+    # batch-scaling probe of the winning config: larger graph batches
+    # amortize the per-step edge rebuild and raise MXU occupancy (VERDICT
+    # r3 weak #3: gnn_mfu 0.008 at batch 512 = chip ~99% idle). The MPPI
+    # serving load is 20k samples, so batch 2048/4096 is a REAL serving
+    # configuration, not a synthetic one.
+    for bs in (2048, 4096):
+        if RES["aborted"]:
+            break
+        v = _run_phase(f"gnn_batch{bs}", _gnn_subprocess, hmode, hdtype,
+                       cap_s=480, batch=bs)
+        if v is not None:
+            RES["gnn_by_mode"][f"slotmm+bf16@{bs}"] = v
+            RES["gnn_batches"][f"slotmm+bf16@{bs}"] = bs
+
+    # aggregate 4-env vmapped variant (the batched data-gen configuration)
+    if not RES["aborted"]:
+        v = _run_phase("pbd_batch4", _pbd_variant_subprocess, "batch4",
+                       cap_s=480)
+        RES["pbd_batch"] = v[0] if v else None
+
+    # comparison sweeps: PBD dense mode, GNN aggregation-mode ladder (f32)
+    if not RES["aborted"]:
+        v = _run_phase("pbd_dense", _pbd_variant_subprocess, "dense",
+                       cap_s=360)
+        if v is not None:
+            RES["pbd_by_mode"]["dense"], RES["pbd_spread"]["dense"] = v
+    for mode in ("slotmm", "matmul", "slotted"):
+        if RES["aborted"]:
+            break
+        v = _run_phase(f"gnn_{mode}", _gnn_subprocess, mode, "f32",
+                       cap_s=360)
+        if v is not None:
+            RES["gnn_by_mode"][mode] = v
+            RES["gnn_batches"][mode] = 512
+
+    _persist_partial()
+    _print_summary()
 
 
 def _backend_reachable(timeout_s: int = 240, attempts: int = 3):
@@ -496,23 +620,30 @@ def _backend_reachable(timeout_s: int = 240, attempts: int = 3):
     >3 h); a hung bench leaves the driver with no artifact at all, so an
     honest 'backend unavailable' JSON line beats an empty timeout.
     Returns the backend platform name (truthy) or None — the parent itself
-    never initializes the backend (see main())."""
+    never initializes the backend (see main()). Probes never spend more
+    than the remaining deadline budget (r5: the probe loop itself must not
+    eat the phases' time)."""
     import os
     import subprocess
     import sys
 
     code = ("import jax, jax.numpy as j; "
             "float(j.sum(j.ones((4, 4)))); print(jax.default_backend())")
-    for _ in range(attempts):
+    for i in range(attempts):
+        rem = _remaining()
+        if rem < 30:
+            return None
         try:
             r = subprocess.run([sys.executable, "-c", code],
-                               timeout=timeout_s, capture_output=True,
+                               timeout=min(timeout_s, int(rem)),
+                               capture_output=True,
                                text=True, env=dict(os.environ))
             if r.returncode == 0:
                 return r.stdout.strip().splitlines()[-1]
         except subprocess.TimeoutExpired:
             pass
-        time.sleep(30)
+        if i + 1 < attempts and _remaining() > 60:
+            time.sleep(30)
     return None
 
 
@@ -539,16 +670,23 @@ if __name__ == "__main__":
               "  --pbd-mode block|dense | --pbd-batch MODE | "
               "--gnn AGG DTYPE | --mppi AGG DTYPE", file=sys.stderr)
         sys.exit(2)
-    elif (backend := _backend_reachable()):
-        main(backend)
     else:
-        print(json.dumps({
-            "metric": "combined PBD+GNN rollout steps/s per chip",
-            "value": 0.0,
-            "unit": "steps/s",
-            "vs_baseline": 0.0,
-            "error": "TPU backend unreachable (remote worker down; backend "
-                     "init blocks) — see BENCH_r02.json for the last "
-                     "healthy capture",
-            "backend": "unavailable",
-        }))
+        # full orchestrated run: guarantee a summary line no matter how the
+        # process ends (normal return, internal error, or the driver's
+        # outer timeout sending SIGTERM)
+        signal.signal(signal.SIGTERM, _on_term)
+        signal.signal(signal.SIGINT, _on_term)
+        atexit.register(_print_summary)
+        if (backend := _backend_reachable()):
+            main(backend)
+        else:
+            print(json.dumps({
+                "metric": "combined PBD+GNN rollout steps/s per chip",
+                "value": 0.0,
+                "unit": "steps/s",
+                "vs_baseline": 0.0,
+                "error": "TPU backend unreachable (remote worker down; "
+                         "backend init blocks) — see BENCH_r03.json for "
+                         "the last healthy capture",
+                "backend": "unavailable",
+            }))

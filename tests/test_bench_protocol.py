@@ -96,3 +96,114 @@ def test_malformed_flag_exits_nonzero_without_bench():
                         "slotmm"], capture_output=True, text=True, timeout=60)
     assert r.returncode == 2
     assert "usage error" in r.stderr
+
+
+# --- round-5 budget armor (BENCH_r04 post-mortem: driver timeout killed the
+# run after 7 healthy phases and the single end-of-run print lost every
+# number). These pin: internal deadline skipping, the guaranteed-emission
+# SIGTERM path, and the per-phase partial persistence. ---------------------
+
+import copy
+import json
+import signal
+import time
+
+import pytest
+
+
+@pytest.fixture
+def fresh_res(monkeypatch, tmp_path):
+    """Isolated RES accumulator + partial path + un-printed state."""
+    saved = copy.deepcopy(bench.RES)
+    bench.RES.clear()
+    bench.RES.update({
+        "pbd_by_mode": {}, "pbd_spread": {}, "pbd_batch": None,
+        "gnn_by_mode": {}, "gnn_batches": {}, "mppi": None,
+        "phases": {}, "backend": None, "aborted": False,
+    })
+    monkeypatch.setattr(bench, "_PRINTED", False)
+    monkeypatch.setattr(bench, "PARTIAL_PATH",
+                        str(tmp_path / "bench_partial.json"))
+    yield bench.RES
+    bench.RES.clear()
+    bench.RES.update(saved)
+
+
+def test_deadline_exhausted_skips_all_phases(fresh_res, monkeypatch, capsys):
+    # clock exhausted before main(): every phase must be skipped_budget and
+    # a parsable summary line must still print — no child may launch
+    monkeypatch.setattr(bench, "_T0", time.time() - bench.DEADLINE_S - 1)
+
+    def boom(*a, **k):
+        raise AssertionError("child launched past deadline")
+
+    monkeypatch.setattr(bench, "_pbd_variant_subprocess", boom)
+    monkeypatch.setattr(bench, "_gnn_subprocess", boom)
+    monkeypatch.setattr(bench, "_mppi_subprocess", boom)
+    monkeypatch.setattr(bench, "_backend_reachable", lambda *a, **k: "cpu")
+    bench.main("cpu")
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert summary["vs_baseline"] == 0.0
+    assert all(v == "skipped_budget" for v in summary["phases"].values())
+    assert not summary["aborted_early"]
+
+
+def test_headline_phases_run_first_and_caps_respected(fresh_res, monkeypatch,
+                                                      capsys):
+    monkeypatch.setattr(bench, "_T0", time.time())
+    calls = []
+
+    def fake_pbd(mode, timeout_s=900):
+        calls.append(("pbd", mode, timeout_s))
+        return (1400.0, 20.0), "ok"
+
+    def fake_gnn(agg, dtype, timeout_s=900, batch=512):
+        calls.append(("gnn", agg, dtype, batch, timeout_s))
+        return (50000.0, 1e12), "ok"
+
+    def fake_mppi(agg, dtype, timeout_s=900):
+        calls.append(("mppi", agg, dtype, timeout_s))
+        return 1200.0, "ok"
+
+    monkeypatch.setattr(bench, "_pbd_variant_subprocess", fake_pbd)
+    monkeypatch.setattr(bench, "_gnn_subprocess", fake_gnn)
+    monkeypatch.setattr(bench, "_mppi_subprocess", fake_mppi)
+    bench.main("tpu")
+    # headline-first: pbd block, gnn slotmm bf16, mppi — before any extra
+    assert calls[0][:2] == ("pbd", "block")
+    assert calls[1][:3] == ("gnn", "slotmm", "bf16")
+    assert calls[2][0] == "mppi"
+    assert all(c[-1] <= bench.DEADLINE_S for c in calls)  # caps <= budget
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["pbd_steps_per_s"] == 1400.0
+    assert summary["mppi_samples_per_s"] == 1200.0
+    assert summary["phases"]["pbd_block"] == "ok"
+    # partial persisted on disk too
+    disk = json.load(open(bench.PARTIAL_PATH))
+    assert disk["pbd_steps_per_s"] == 1400.0
+
+
+def test_sigterm_prints_best_known_summary_once(fresh_res, capsys):
+    bench.RES["_started"] = True
+    bench.RES["backend"] = "tpu"
+    bench.RES["pbd_by_mode"]["block"] = 1450.0
+    bench.RES["pbd_spread"]["block"] = 10.0
+    bench.RES["phases"]["pbd_block"] = "ok"
+    with pytest.raises(SystemExit) as e:
+        bench._on_term(signal.SIGTERM, None)
+    assert e.value.code == 128 + signal.SIGTERM
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert summary["pbd_steps_per_s"] == 1450.0
+    assert summary["phases"]["_killed"] == f"signal={int(signal.SIGTERM)}"
+    # idempotent: a second trigger (atexit after the handler) stays silent
+    bench._print_summary()
+    assert capsys.readouterr().out == ""
+
+
+def test_summary_not_printed_before_start(fresh_res, capsys):
+    # the backend-unreachable path prints its own error JSON; the atexit
+    # summary printer must not add a second (all-zero) line after it
+    bench._print_summary()
+    assert capsys.readouterr().out == ""

@@ -264,11 +264,14 @@ class TestBatchedDynamics:
             params, state, mask, acts, jnp.array([0.5]))
         np.testing.assert_array_equal(np.asarray(out_full["state_seqs"]),
                                       np.asarray(out_chunk["state_seqs"]))
-        # non-divisible population falls back to the single vmap
+        # non-divisible population: padded to the next chunk multiple and
+        # sliced back (ADVICE r4 #2 — it must NOT silently fall back to one
+        # full vmap, which re-opens the BENCH_r03 live-activation OOM)
         out_odd = make_batched_dynamics(model, dict(task, n_sample_chunk=3))(
             params, state, mask, acts, jnp.array([0.5]))
         np.testing.assert_array_equal(np.asarray(out_full["state_seqs"]),
                                       np.asarray(out_odd["state_seqs"]))
+        assert out_odd["state_seqs"].shape[0] == 8  # pad rows sliced off
 
     def test_model_sees_flex_frame(self):
         """The planner works in the plan frame (flex z negated) but the GNN
@@ -443,11 +446,24 @@ class TestAcceptanceSeeds:
         (so recovery is well-conditioned). Guard that property against
         sampler/config drift — the reference's analogous demo relies on a
         known ~0.04 granularity (README.md:246-258)."""
+        import ast
+
         from adaptigraph_tpu.scenes.samplers import sample_scene
         from adaptigraph_tpu.dynamics.dataset import normalize_physics
         from adaptigraph_tpu.utils import load_config
 
-        seeds = {"rope": 12, "granular": 41}  # plan_acceptance DEFAULT_SEEDS
+        # read the SHIPPED defaults out of the script source (it has
+        # module-level side effects, so no import): the guard must track
+        # the real defaults, not a copy that can drift (ADVICE r4 #1 —
+        # the copy pinned seed 12 long after the script moved to 59)
+        src = open("/root/repo/scripts/plan_acceptance.py").read()
+        seeds = None
+        for node in ast.walk(ast.parse(src)):
+            if (isinstance(node, ast.Assign)
+                    and any(getattr(t, "id", None) == "DEFAULT_SEEDS"
+                            for t in node.targets)):
+                seeds = ast.literal_eval(node.value)
+        assert seeds is not None and set(seeds) >= {"rope", "granular"}
         for mat, seed in seeds.items():
             pp = load_config(f"dynamics/{mat}")["material_config"][mat][
                 "physics_params"]
@@ -455,4 +471,11 @@ class TestAcceptanceSeeds:
             _, props = sample_scene(mat, rng)
             t = float(np.atleast_1d(normalize_physics(props, pp))[0])
             assert 0.2 <= abs(t - 0.5), (mat, t)   # prior can't trivially pass
+            if mat == "rope":
+                # identifiability: rope's true param must sit in the LOW-
+                # stiffness mode — the branch where replay error actually
+                # discriminates stiffness (plan_acceptance.py docstring;
+                # high-stiffness ropes are degenerate over short pushes)
+                assert t < 0.5, ("rope seed must pick the low-stiffness "
+                                 "mode", t)
             assert 0.1 <= t <= 0.9, (mat, t)       # off the clamp edges
