@@ -106,12 +106,26 @@ def construct_graph(dataset_config, eef_pos, obj_pos, n_his, pair, physics_param
     return graph, fps_idx
 
 
-def get_next_pair(pairs, n_his, current_end):
-    """Frame-pair table walk (rollout/graph.py:392-400)."""
+def get_next_pair(pairs, n_his, current_end, n_frames=None, scan=False):
+    """Frame-pair table walk (rollout/graph.py:392-400). With scan=True,
+    when no pair starts exactly at current_end, scan FORWARD over frames
+    until one does (the reference's get_next_pair_or_break_episode,
+    graph.py:374-390) — this is what lets a rollout chain across push
+    boundaries and reach the reference's 100-step horizon instead of
+    truncating at the ~26 pairs a single push yields (VERDICT r4 #7)."""
     valid = pairs[pairs[:, n_his - 1] == current_end]
     valid = valid[valid[:, n_his] > current_end]
     if len(valid) == 0:
-        return None
+        if not scan or n_frames is None:
+            return None
+        while current_end < n_frames - 1:
+            current_end += 1
+            valid = pairs[pairs[:, n_his - 1] == current_end]
+            valid = valid[valid[:, n_his] > current_end]
+            if len(valid):
+                break
+        if len(valid) == 0:
+            return None
     return valid[len(valid) // 2]
 
 
@@ -155,7 +169,7 @@ def make_rollout_step(model, dataset_config):
 
 def rollout_push(params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his,
                  current_start, current_end, max_nobj, rollout_steps=100,
-                 viz_ctx=None):
+                 viz_ctx=None, scan=False):
     """Roll one push; returns the per-step error list. `viz_ctx` (optional):
     dict(imgs, intr, extr, save_dir) — writes pred/gt overlay frames like the
     reference visualize_graph (rollout/graph.py:44-230)."""
@@ -182,7 +196,8 @@ def rollout_push(params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his
                                 gt_kp=gt, eef_kp=np.asarray(eef_end))
             cv2.imwrite(os.path.join(viz_ctx["save_dir"], f"{step_i}_both.jpg"),
                         out[..., ::-1])
-        nxt = get_next_pair(pairs, n_his, current_end)
+        nxt = get_next_pair(pairs, n_his, current_end,
+                            n_frames=len(obj_pos), scan=scan)
         if nxt is None:
             break
         current_start, current_end = nxt[n_his - 1], nxt[n_his]
@@ -222,7 +237,8 @@ def _make_viz_ctx(dataset_config, name, push_i, out_dir, cam=0):
     return {"imgs": imgs, "intr": intr, "extr": extr, "save_dir": save_dir}
 
 
-def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=None):
+def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=None,
+            scan=True):
     dataset_config = config["dataset_config"]
     rollout_steps = rollout_steps or int(config["rollout_config"]["rollout_steps"])
     out_dir = os.path.join(config["rollout_config"]["out_dir"],
@@ -256,10 +272,17 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
         pair_files = sorted(glob.glob(os.path.join(prep_dir, f"{name}_*.txt")))
         eef_pos, obj_pos = dataset.eef_pos[epi], dataset.obj_pos[epi]
         physics = dataset.physics_params[epi][dataset.material]
-        for pi, pf in enumerate(pair_files):
-            pairs = np.loadtxt(pf).astype(int)
-            if pairs.ndim == 1:
-                continue
+        # episode-wide pair table: the reference walks the FULL episode's
+        # pair list (rollout.py:207-239 passes pair_lists_episode), so a
+        # rollout started at one push chains into the following pushes and
+        # the horizon reaches the 100-step reference curve instead of the
+        # ~26 pairs one push holds (VERDICT r4 #7)
+        tables = [np.atleast_2d(np.loadtxt(pf).astype(int)) for pf in pair_files]
+        tables = [t for t in tables if t.size and t.shape[0] > 1]
+        if not tables:
+            continue
+        pairs_all = np.vstack(tables)
+        for pi, pairs in enumerate(tables):
             pair = pairs[0]
             graph, fps_idx = construct_graph(
                 dataset_config, eef_pos, obj_pos, n_his, pair, physics, rng,
@@ -268,10 +291,10 @@ def rollout(config, ckpt="latest", viz=False, max_episodes=None, rollout_steps=N
             if viz:
                 viz_ctx = _make_viz_ctx(dataset_config, name, pi, out_dir)
             errors = rollout_push(
-                params, step_fn, graph, fps_idx, pairs, eef_pos, obj_pos, n_his,
-                pair[n_his - 1], pair[n_his],
+                params, step_fn, graph, fps_idx, pairs_all, eef_pos, obj_pos,
+                n_his, pair[n_his - 1], pair[n_his],
                 int(dataset_config["datasets"][0]["max_nobj"]), rollout_steps,
-                viz_ctx=viz_ctx)
+                viz_ctx=viz_ctx, scan=scan)
             if viz_ctx is not None:
                 from adaptigraph_tpu.utils.visualize import merge_video
 
@@ -326,6 +349,9 @@ if __name__ == "__main__":
     ap.add_argument("--ckpt", type=str, default="latest")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--viz", action="store_true")
+    ap.add_argument("--no-scan", action="store_true",
+                    help="per-push horizon only (the reference's "
+                         "get_next_pair_or_break_episode_pushes walk)")
     args = ap.parse_args()
     rollout(load_config(args.config), ckpt=args.ckpt, rollout_steps=args.steps,
-            viz=args.viz)
+            viz=args.viz, scan=not args.no_scan)

@@ -242,7 +242,13 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
         act = np.asarray(res["act_seq"][0])
         state_pred = np.asarray(res["best_model_output"]["state_seqs"][0, -1])
         reward = float(res["best_eval_output"]["reward_seqs"][0])
-        print(f"action {i}: act {np.round(act, 3)} reward {reward:.4f}", flush=True)
+        # the reward self-normalizes per population (error_weight = 2/max),
+        # so on the bsz=1 best-action re-eval it is pinned at ~-2.0 and
+        # carries no signal (r4 stats.txt all -2.0); the PREDICTED final
+        # error is the cross-action-comparable quantity — log it
+        err_pred = float(res["best_eval_output"]["error_seqs"][0])
+        print(f"action {i}: act {np.round(act, 3)} reward {reward:.4f} "
+              f"pred_error {err_pred:.4f}", flush=True)
 
         # planning overlay (plan_utils.py:104-281): init/pred/target/arrows
         try:
@@ -275,7 +281,10 @@ def plan(task_config, env, save_dir, use_ppo=False, n_actions=None, n_sample=Non
 
         ppm.log_interaction(i, act, state_cur[:nobj], state_pred[:nobj], state_real)
         err_fin = float(error_fn(jnp.asarray(state_real)[None])[0])
-        stats.append((i, reward, err_fin))
+        # columns: action index, best reward, REAL final error, PREDICTED
+        # final error — consumers index [:, 2]; the pred column diagnoses
+        # model-vs-reality divergence per action (VERDICT r4 #3)
+        stats.append((i, reward, err_fin, err_pred))
         # incremental save: a timeout/watchdog kill mid-run still leaves the
         # acceptance artifact for the actions that completed
         np.savetxt(os.path.join(save_dir, "stats.txt"), np.asarray(stats))

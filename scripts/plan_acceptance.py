@@ -101,19 +101,56 @@ with open(os.path.join(SAVE, "true_param.json"), "w") as f:
                "true_param": [float(x) for x in np.atleast_1d(true_param)]},
               f)
 
-# reachable target: a box around the object's perceived centroid, offset one
-# push length — 10 pushes can genuinely reduce the error toward it
+# Reachable target, per material (r4 post-mortem: the rope box target was
+# SMALLER than the rope, so the initial error 0.37 already sat at the task's
+# geometric floor — the 10-push run could only wander upward and
+# error_decreased was structurally unreachable):
+#   * rope/cloth: a translated copy of the initial state as a target POINT
+#     CLOUD — the reference's own target_type for these materials
+#     (src/config/planning/rope.yaml target_type: pcd); the shape is
+#     achievable by pure translation so the chamfer floor is ~0, and the
+#     ~2-sim-unit offset leaves real headroom for the error to fall.
+#   * granular: the reference-demo box region, one push length away.
 init_pos = np.asarray(env.env.state.particles.pos)[: env.env.n_active]
 cx, cz = float(init_pos[:, 0].mean()), float(init_pos[:, 2].mean())
-half = 0.35 if MATERIAL == "rope" else 0.25
-# plan-frame box [xmin, xmax, zmin, zmax] in REAL units (plan() multiplies
-# by sim_real_ratio); plan frame = flex_to_plan(sim) so x -> x, z -> -z
 srr = float(tc["sim_real_ratio"])
-ox, oz = 0.12, 0.08  # real-unit offset (~1.2 sim units x)
-tc["target_type"] = "box"
-tc["target"] = [cx / srr + ox - half / srr, cx / srr + ox + half / srr,
-                -cz / srr + oz - half / srr, -cz / srr + oz + half / srr]
-print(f"target box (real units): {np.round(tc['target'], 4).tolist()}",
+if MATERIAL == "granular":
+    half = 0.25
+    ox, oz = 0.12, 0.08  # real-unit offset (~1.2 sim units x)
+    tc["target_type"] = "box"
+    tc["target"] = [cx / srr + ox - half / srr, cx / srr + ox + half / srr,
+                    -cz / srr + oz - half / srr, -cz / srr + oz + half / srr]
+    print(f"target box (real units): {np.round(tc['target'], 4).tolist()}",
+          flush=True)
+else:
+    from adaptigraph_tpu.utils.host_fps import fps_with_idx
+
+    ox, oz = (0.20, 0.08) if MATERIAL == "rope" else (0.15, 0.06)
+    n_tgt = min(int(tc["max_nobj"]), 100)
+    sub, _ = fps_with_idx(init_pos.astype(np.float32), n_tgt)
+    tgt_plan = sub.copy()
+    tgt_plan[:, 2] *= -1  # flex -> plan frame
+    tgt_plan[:, 0] += ox * srr
+    tgt_plan[:, 2] += oz * srr
+    tgt_path = os.path.join(SAVE, "target_pcd.npy")
+    np.save(tgt_path, tgt_plan / srr)  # plan() rescales by sim_real_ratio
+    tc["target_type"] = "pcd"
+    tc["target"] = tgt_path
+    print(f"target pcd: {len(tgt_plan)} pts, initial state translated by "
+          f"({ox}, {oz}) real units -> {tgt_path}", flush=True)
+
+# the config's action box is the reference's REAL-robot reachability window
+# (x only on the arm's side of the table) — recentre and symmetrize it on
+# the sim scene so pushes can approach the object (and the translated
+# target) from every side, exactly as the workspace bbox is recentred below
+low = [float(v) for v in tc["action_lower_lim"]]
+up = [float(v) for v in tc["action_upper_lim"]]
+cz_plan = -cz
+tc["action_lower_lim"] = [cx - 4.5, cz_plan - 4.5, low[2], low[3]]
+tc["action_upper_lim"] = [cx + 4.5, cz_plan + 4.5, up[2], up[3]]
+print(f"action box (sim units, recentred): "
+      f"x {tc['action_lower_lim'][0]:.2f}..{tc['action_upper_lim'][0]:.2f} "
+      f"z {tc['action_lower_lim'][1]:.2f}..{tc['action_upper_lim'][1]:.2f}",
       flush=True)
 
 # recentre the keep-in-workspace bbox on the sim scene: the config's bbox is
@@ -124,7 +161,7 @@ print(f"target box (real units): {np.round(tc['target'], 4).tolist()}",
 # the planner goes blind (the r4 'flat -7.00 reward' runs). Same recentring
 # the target gets; the y entries are unused by plan().
 bb = [float(v) for v in tc["bbox"]]
-half_ws = 0.45
+half_ws = 0.55  # covers the object + the ~2-sim-unit pcd-target offset
 cpx, cpz = cx / srr, -cz / srr
 tc["bbox"] = [cpx - half_ws, bb[1], cpz - half_ws,
               cpx + half_ws, bb[4], cpz + half_ws]

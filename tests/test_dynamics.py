@@ -426,3 +426,59 @@ class TestTrainChunkModes:
         # float tolerance (augment/noise off, same PRNG stream)
         np.testing.assert_allclose(losses["matmul"], losses["slotted"],
                                    rtol=2e-3, atol=2e-4)
+
+
+class TestPairWalk:
+    """get_next_pair: the per-push walk vs the episode-forward scan
+    (reference graph.py:374-400; the scan is what reaches 100-step
+    horizons by chaining across push boundaries)."""
+
+    def _table(self, n_his=4):
+        # two "pushes": frames 0..9 and 14..23, pairs are consecutive
+        # history windows (start col n_his-1, end col n_his)
+        rows = []
+        for s in range(0, 6):
+            rows.append(list(range(s, s + n_his + 1)))
+        for s in range(14, 19):
+            rows.append(list(range(s, s + n_his + 1)))
+        return np.asarray(rows, int)
+
+    def test_no_scan_breaks_at_push_end(self):
+        from adaptigraph_tpu.dynamics.rollout import get_next_pair
+
+        pairs = self._table()
+        # walk push 1 to its last pair, then stop
+        cur = pairs[0][3]  # n_his-1 col of first pair
+        end = pairs[0][4]
+        steps = 0
+        while True:
+            nxt = get_next_pair(pairs, 4, end)
+            if nxt is None:
+                break
+            end = nxt[4]
+            steps += 1
+        assert end == pairs[5][4]  # last pair of push 1
+        assert steps == 5
+
+    def test_scan_chains_across_pushes(self):
+        from adaptigraph_tpu.dynamics.rollout import get_next_pair
+
+        pairs = self._table()
+        end = pairs[0][4]
+        ends = []
+        while True:
+            nxt = get_next_pair(pairs, 4, end, n_frames=30, scan=True)
+            if nxt is None:
+                break
+            end = nxt[4]
+            ends.append(end)
+        # the scan jumps the 10..13 gap into push 2 and finishes its table
+        assert ends[-1] == pairs[-1][4]
+        assert len(ends) == 10
+
+    def test_scan_returns_none_past_final_frame(self):
+        from adaptigraph_tpu.dynamics.rollout import get_next_pair
+
+        pairs = self._table()
+        assert get_next_pair(pairs, 4, pairs[-1][4], n_frames=30,
+                             scan=True) is None
