@@ -22,7 +22,9 @@ import sys
 import numpy as np
 
 MATERIAL = sys.argv[1] if len(sys.argv) > 1 else "rope"
-SAVE = f"/root/repo/data/plan_{MATERIAL}"
+# overridable so rehearsals never touch the real artifact dir (same knob
+# as plan_acceptance.py)
+SAVE = os.environ.get("PLAN_SAVE_DIR", f"/root/repo/data/plan_{MATERIAL}")
 
 
 def ppo_index(path):
@@ -42,6 +44,53 @@ if os.path.exists(stats_path) and os.path.getsize(stats_path) > 0:
     stats = np.atleast_2d(np.loadtxt(stats_path))
     if stats.size:
         errors = stats[:, 2]
+
+# r5: re-run the full script's final OFFLINE refit over the complete
+# interaction log (plan_acceptance.py final-refit block; reference
+# demo_granular_1.py:13-51 optimizes once over the whole log) — a
+# timeout-killed run assembled here would otherwise report the noisier
+# 50-call online tail. CPU-forced: the assembler often runs while the TPU
+# is already owned by the next pipeline phase.
+if (os.environ.get("PLAN_EVAL_REFIT", "1") == "1"
+        and glob.glob(os.path.join(SAVE, "interaction_*.npz"))):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, "/root/repo")
+        from adaptigraph_tpu.utils import load_config
+        from adaptigraph_tpu.dynamics.dataset import DynDataset
+        from adaptigraph_tpu.dynamics.train import init_model, load_checkpoint
+        from adaptigraph_tpu.planning.physics_optimizer import (
+            PhysicsParamOnlineOptimizer)
+
+        LOG_DIR = os.environ.get("PLAN_LOG_DIR", "/root/repo/data/log")
+        tc = load_config(f"planning/{MATERIAL}")["task_config"]
+        dyn = load_config(f"dynamics/{MATERIAL}")
+        dyn["dataset_config"]["data_dir"] = "/root/repo/data/sim_data"
+        dyn["dataset_config"]["prep_data_dir"] = "/root/repo/data/preprocess"
+        dyn["dataset_config"]["ratio"] = {"train": [0, 0.75], "valid": [0.75, 1]}
+        dyn["train_config"]["out_dir"] = LOG_DIR
+        _ds = DynDataset(dyn["dataset_config"], dyn["material_config"], "valid")
+        _model, _p0 = init_model(dyn, _ds)
+        _ckpt_dir = os.path.join(LOG_DIR, dyn["dataset_config"]["data_name"],
+                                 "checkpoints")
+        _params = load_checkpoint(_ckpt_dir, "best", _p0)
+        _ppm = PhysicsParamOnlineOptimizer(tc, _model, _params, MATERIAL, SAVE)
+        _n = len(_ppm._load_interactions()[0])
+        _iters = int(os.environ.get("PLAN_EVAL_REFIT_ITERS", "80"))
+        print(f"offline refit over {_n} interactions (CPU, "
+              f"{_iters} iters)", flush=True)
+        _t0 = __import__("time").time()
+        _ppm.optimize(_n - 1, iterations=_iters)
+        print(f"offline refit done in {__import__('time').time()-_t0:.0f}s",
+              flush=True)
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        print("offline refit failed; using the last online estimate",
+              flush=True)
 
 # numeric sort: lexicographic glob order puts ppo_10 before ppo_2
 # (ADVICE r3 #1)
