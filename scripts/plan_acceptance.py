@@ -101,16 +101,25 @@ with open(os.path.join(SAVE, "true_param.json"), "w") as f:
                "true_param": [float(x) for x in np.atleast_1d(true_param)]},
               f)
 
-# Reachable target, per material (r4 post-mortem: the rope box target was
-# SMALLER than the rope, so the initial error 0.37 already sat at the task's
-# geometric floor — the 10-push run could only wander upward and
-# error_decreased was structurally unreachable):
-#   * rope/cloth: a translated copy of the initial state as a target POINT
-#     CLOUD — the reference's own target_type for these materials
-#     (src/config/planning/rope.yaml target_type: pcd); the shape is
-#     achievable by pure translation so the chamfer floor is ~0, and the
-#     ~2-sim-unit offset leaves real headroom for the error to fall.
-#   * granular: the reference-demo box region, one push length away.
+# Reachable target, per material. r5 redesign (replaces the r4 box and the
+# r5-s1 translated-pcd targets, both of which had UNREACHABLE floors):
+#   * The rope scene pins every particle spawned below y=0.4 — the
+#     reference's own semantics ("fix any particles below the ground plane
+#     in place", by_softrope.h:219-221), and the sampled 10-20 deg z-tilt
+#     guarantees the rope's low end spawns pinned. Any rigid translation of
+#     the full rope is therefore unreachable BY CONSTRUCTION: the r5-s1 run
+#     sat flat at chamfer ~2.05 for 10 actions while the sim replay showed
+#     the anchored tail (xspan min frozen at -0.06) never moving.
+#   * rope/cloth fix: execute N_PREP data-gen-style sampled actions
+#     (sample_action aims at the object — guaranteed contact,
+#     in-distribution), capture the PERCEIVED state as the target pcd (the
+#     reference's construct_goal_from_perception, perception.py:352-397 —
+#     its demo targets are recorded pcds), then RESET to the episode seed
+#     and plan toward the recorded target. Reachability is by construction
+#     (the target was actually reached), and the chamfer floor is ~0 in
+#     perception space because both sides live in the same workspace crop.
+#   * granular keeps the reference-demo box region (the r4 artifact passes
+#     with it: error 1.69->1.54, gap 0.052).
 init_pos = np.asarray(env.env.state.particles.pos)[: env.env.n_active]
 cx, cz = float(init_pos[:, 0].mean()), float(init_pos[:, 2].mean())
 srr = float(tc["sim_real_ratio"])
@@ -123,21 +132,60 @@ if MATERIAL == "granular":
     print(f"target box (real units): {np.round(tc['target'], 4).tolist()}",
           flush=True)
 else:
+    from adaptigraph_tpu.planning.perception import (PerceptionModule,
+                                                     capture_goal)
     from adaptigraph_tpu.utils.host_fps import fps_with_idx
 
-    ox, oz = (0.20, 0.08) if MATERIAL == "rope" else (0.15, 0.06)
-    n_tgt = min(int(tc["max_nobj"]), 100)
-    sub, _ = fps_with_idx(init_pos.astype(np.float32), n_tgt)
-    tgt_plan = sub.copy()
+    def _sym_chamfer(a, b):
+        d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+        return float(d.min(1).mean() + d.min(0).mean()) / 2
+
+    pm = PerceptionModule(tc)
+    init_pts = capture_goal(env, pm)  # flex frame, sim units
+    n_prep = int(os.environ.get("PLAN_ACCEPT_PREP", "2"))
+    min_headroom = float(os.environ.get("PLAN_ACCEPT_HEADROOM", "0.8"))
+    boundary_points = boundary = None
+    done = 0
+    for _k in range(n_prep * 4 + 2):
+        tgt_pts = capture_goal(env, pm)
+        moved = _sym_chamfer(init_pts.astype(np.float32),
+                             tgt_pts.astype(np.float32))
+        if done >= n_prep and moved >= min_headroom:
+            break  # enough headroom recorded
+        if MATERIAL == "cloth":
+            if boundary_points is None:
+                u, boundary_points, boundary = env.env.sample_action(init=True)
+            else:
+                u, boundary_points, boundary = env.env.sample_action(
+                    boundary_points=boundary_points, boundary=boundary)
+        else:
+            u = env.env.sample_action()
+        if u is None:
+            continue
+        out = env.env.step(np.asarray(u))
+        if out is None:
+            raise SystemExit("target-prep push exploded")
+        done += 1
+        print(f"target prep push {done}: {np.round(np.asarray(u), 3)}",
+              flush=True)
+    tgt_pts = capture_goal(env, pm)
+    headroom = _sym_chamfer(init_pts.astype(np.float32),
+                            tgt_pts.astype(np.float32))
+    n_tgt = min(2 * int(tc["max_nobj"]), max(20, len(tgt_pts)))
+    if len(tgt_pts) > n_tgt:
+        tgt_pts, _ = fps_with_idx(tgt_pts.astype(np.float32), n_tgt)
+    tgt_plan = np.asarray(tgt_pts, np.float32).copy()
     tgt_plan[:, 2] *= -1  # flex -> plan frame
-    tgt_plan[:, 0] += ox * srr
-    tgt_plan[:, 2] += oz * srr
     tgt_path = os.path.join(SAVE, "target_pcd.npy")
     np.save(tgt_path, tgt_plan / srr)  # plan() rescales by sim_real_ratio
     tc["target_type"] = "pcd"
     tc["target"] = tgt_path
-    print(f"target pcd: {len(tgt_plan)} pts, initial state translated by "
-          f"({ox}, {oz}) real units -> {tgt_path}", flush=True)
+    print(f"target pcd: {len(tgt_plan)} pts recorded after {done} prep "
+          f"pushes (initial-state headroom {headroom:.3f} sim units) -> "
+          f"{tgt_path}", flush=True)
+    # back to the episode's initial state for the closed loop (the same
+    # seed re-settles deterministically; prep pushes leave no trace)
+    env.env.reset(seed=SEED)
 
 # the config's action box is the reference's REAL-robot reachability window
 # (x only on the arm's side of the table) — recentre and symmetrize it on
