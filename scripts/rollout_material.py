@@ -27,6 +27,9 @@ _eps = [d for d in _glob.glob(f'/root/repo/data/sim_data/{MATERIAL}/0*')
         if len(_glob.glob(d + '/0*.h5')) > 1]
 if len(_eps) < 4:
     cfg['dataset_config']['ratio'] = {'train': [0, 1], 'valid': [0, 1]}
+elif len(_eps) < 40:
+    # match train_material.py's mid-sized split (no train/valid overlap)
+    cfg['dataset_config']['ratio'] = {'train': [0, 0.7], 'valid': [0.7, 1]}
 cfg['train_config']['out_dir'] = '/root/repo/data/log'
 cfg['rollout_config']['out_dir'] = '/root/repo/data/rollout'
 

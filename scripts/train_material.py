@@ -17,11 +17,16 @@ cfg = load_config(f'dynamics/{MATERIAL}')
 cfg['dataset_config']['data_dir'] = '/root/repo/data/sim_data'
 cfg['dataset_config']['prep_data_dir'] = '/root/repo/data/preprocess'
 cfg['dataset_config']['ratio'] = {'train': [0, 0.75], 'valid': [0.75, 1]}
-# demo-scale datasets (1-2 episodes) cannot split: train/validate on all
+# demo-scale datasets (1-2 episodes) cannot split: train/validate on all;
+# mid-sized campaigns (4-39 eps) widen the valid split to [0.7, 1] so the
+# rollout evaluation reaches ~30 pushes (VERDICT r4 #4's evaluation bar)
+# without train/valid overlap
 import glob as _glob
 _eps = [d for d in _glob.glob(f'/root/repo/data/sim_data/{MATERIAL}/0*') if len(_glob.glob(d + '/0*.h5')) > 1]
 if len(_eps) < 4:
     cfg['dataset_config']['ratio'] = {'train': [0, 1], 'valid': [0, 1]}
+elif len(_eps) < 40:
+    cfg['dataset_config']['ratio'] = {'train': [0, 0.7], 'valid': [0.7, 1]}
 cfg['train_config']['out_dir'] = '/root/repo/data/log'
 # cosine decay over the full budget (train.py lr_schedule; better final
 # loss than the reference's fixed 1e-3 at this 20k-step budget)
