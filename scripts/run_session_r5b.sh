@@ -16,7 +16,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export ADAPTIGRAPH_GNN_AGG=slotmm
 LOG=/tmp/session_r5.log
-ROPE_ACC_LATEST=${ROPE_ACC_LATEST:-1787183100} # 23:45 UTC
+ROPE_ACC_LATEST=${ROPE_ACC_LATEST:-1787189400} # 01:30 UTC (late-recovery contingency: rope acceptance outranks cloth episodes)
 CLOTH_END=${CLOTH_END:-1787187600}             # 01:00 UTC
 TRAIN_END=${TRAIN_END:-1787191800}             # 02:10 UTC
 ROPE_RO_END=${ROPE_RO_END:-1787193300}         # 02:35 UTC
