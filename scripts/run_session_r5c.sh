@@ -1,0 +1,176 @@
+#!/bin/bash
+# Round-5 pipeline, phase 3 — extension for the final driving session
+# (the session got ~8 h more wall-clock than r5b's 03:10 hard end was
+# planned for). Chains after run_session_r5b.sh (WAIT_PID) and spends the
+# extra budget on VERDICT r4 #4's scale bar (granular/cloth episodes +
+# retrain + rollout) plus dynamic acceptance retries, ending with a bench
+# compile-cache warm so the driver's BENCH_r05 capture is fast.
+#   wait r5b (WAIT_PID)                       -> ~03:10
+#   granular sequential campaign              -> GRAN2_END  06:00
+#   cloth batch-4 campaign (bases 524+)       -> CLOTH2_END 08:00
+#   retrain granular + cloth (bigger data)    -> TRAIN2_END 09:10
+#   rollout re-evals granular + cloth         -> RO2_END    09:40
+#   acceptance retries (dynamic pick, <=2)    -> PLAN3_END  10:20
+#   bench warm (cache refresh, optional)      -> HARD3_END  10:45
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+export ADAPTIGRAPH_GNN_AGG=slotmm
+LOG=/tmp/session_r5.log
+GRAN2_END=${GRAN2_END:-1787205600}    # 06:00 UTC Aug 20
+CLOTH2_END=${CLOTH2_END:-1787212800}  # 08:00
+TRAIN2_END=${TRAIN2_END:-1787217000}  # 09:10
+RO2_END=${RO2_END:-1787218800}        # 09:40
+PLAN3_END=${PLAN3_END:-1787221200}    # 10:20
+HARD3_END=${HARD3_END:-1787222700}    # 10:45
+
+echo "[r5c] start $(date)" >> $LOG
+
+commit_evals() {
+  for MAT in rope granular cloth; do
+    mkdir -p data/eval/$MAT
+    cp -f data/rollout/$MAT/error_median.txt data/eval/$MAT/ 2>/dev/null
+    cp -f data/rollout/$MAT/error_short.txt data/eval/$MAT/ 2>/dev/null
+    cp -f data/rollout/$MAT/error_short.png data/eval/$MAT/ 2>/dev/null
+    cp -f data/log/$MAT/loss_train.txt data/eval/$MAT/ 2>/dev/null
+    cp -f data/log/$MAT/loss_valid.txt data/eval/$MAT/ 2>/dev/null
+    cp -f data/log/$MAT/loss.png data/eval/$MAT/ 2>/dev/null
+  done
+  git add -A data/eval data/plan_rope data/plan_granular data/plan_cloth 2>/dev/null
+  git diff --cached --quiet -- data/eval data/plan_rope data/plan_granular data/plan_cloth \
+    || git commit -q -m "eval: round-5 extension artifacts (data scale / retrain / acceptance)" \
+         --only -- data/eval data/plan_rope data/plan_granular data/plan_cloth
+}
+
+ticks() { awk '{print $14+$15}' "/proc/$1/stat" 2>/dev/null || echo 0; }
+run_watched() {
+  local stall_min=$1; shift
+  "$@" &
+  local pid=$! last=0 still=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    local now; now=$(ticks "$pid")
+    if [ "$now" -le "$((last + 30))" ]; then still=$((still + 1)); else still=0; fi
+    last=$now
+    if [ "$still" -ge "$stall_min" ]; then
+      echo "[r5c watchdog] pid $pid stalled ${stall_min}m; killing $(date)" >> $LOG
+      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      wait "$pid" 2>/dev/null; return 9
+    fi
+  done
+  wait "$pid"
+}
+
+# ---- wait out r5b ----
+if [ -n "${WAIT_PID:-}" ]; then
+  echo "[r5c] waiting r5b pid $WAIT_PID $(date)" >> $LOG
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+  echo "[r5c] r5b done $(date)" >> $LOG
+fi
+bash scripts/tpu_watch.sh >> $LOG 2>&1
+
+# ---- granular sequential campaign (resume numbering after r5a's 405) ----
+NOW=$(date +%s)
+if [ "$NOW" -lt "$((GRAN2_END - 900))" ]; then
+  echo "[r5c] granular campaign until $GRAN2_END $(date)" >> $LOG
+  GRAN_SEQ_ONLY=1 GRAN_BASE=405 GRAN_N=40 GRAN_DEADLINE=$GRAN2_END \
+    STALL_MIN_SEQ=25 bash scripts/run_granular_campaign.sh
+  echo "[r5c] granular campaign done $(date)" >> $LOG
+fi
+bash scripts/tpu_watch.sh >> $LOG 2>&1
+
+# ---- cloth batch-4 campaign (bases past r5b's 504-520 block) ----
+for base in 524 528 532 536 540 544; do
+  NOW=$(date +%s)
+  [ "$NOW" -ge "$CLOTH2_END" ] && break
+  left=$((CLOTH2_END - NOW)); [ "$left" -gt 2700 ] && left=2700
+  [ "$left" -lt 900 ] && break
+  echo "[r5c] cloth batch base $base (${left}s) $(date)" >> $LOG
+  run_watched 28 timeout "$left" python -m adaptigraph_tpu.sim.batch_env \
+    --config data_gen/cloth --n-episode 4 --batch 4 \
+    --base "$base" --out data/sim_data >> /tmp/cloth_batch.log 2>&1
+  echo "[r5c] cloth base $base rc=$? $(date)" >> $LOG
+  bash scripts/tpu_watch.sh >> $LOG 2>&1
+done
+
+# ---- retrain granular + cloth on the enlarged datasets ----
+rm -rf data/preprocess/granular data/preprocess/cloth
+for MAT in granular cloth; do
+  NOW=$(date +%s)
+  budget=$((TRAIN2_END - NOW)); [ "$MAT" = granular ] && budget=$((budget / 2))
+  [ "$budget" -gt 4200 ] && budget=4200
+  if [ "$budget" -lt 900 ]; then
+    echo "[r5c] train $MAT skipped (budget) $(date)" >> $LOG; continue
+  fi
+  echo "[r5c] train $MAT budget ${budget}s $(date)" >> $LOG
+  ADAPTIGRAPH_TRAIN_WALL=$((budget * 60 / 100)) \
+    timeout "$budget" python scripts/train_material.py "$MAT" \
+    "${EPOCHS:-60}" "${ITERS:-500}" "${BATCH:-128}" \
+    >> "/tmp/r5c_train_${MAT}.log" 2>&1
+  echo "[r5c] train $MAT rc=$? $(date)" >> $LOG
+  commit_evals
+  bash scripts/tpu_watch.sh >> $LOG 2>&1
+done
+
+# ---- rollout re-evals on the fresh checkpoints ----
+for MAT in granular cloth; do
+  NOW=$(date +%s)
+  [ "$NOW" -ge "$RO2_END" ] && break
+  budget=$((RO2_END - NOW)); [ "$budget" -gt 1500 ] && budget=1500
+  [ "$budget" -lt 420 ] && break
+  echo "[r5c] rollout $MAT budget ${budget}s $(date)" >> $LOG
+  timeout "$budget" python scripts/rollout_material.py "$MAT" best 100 \
+    >> "/tmp/r5c_rollout_${MAT}.log" 2>&1
+  echo "[r5c] rollout $MAT rc=$? $(date)" >> $LOG
+  commit_evals
+done
+bash scripts/tpu_watch.sh >> $LOG 2>&1
+
+# ---- acceptance retries: pick the weakest artifacts dynamically ----
+pick_plans() {
+  python - <<'EOF'
+import json, os
+picks = []
+def bar(p):
+    try:
+        j = json.load(open(p))
+    except Exception:
+        return False
+    return bool(j.get("error_decreased")) and j.get("ppo_abs_gap", 1.0) <= 0.15
+for mat in ("cloth", "rope", "granular"):
+    if not bar(f"data/plan_{mat}/acceptance.json"):
+        picks.append(mat)
+print(" ".join(picks[:2]))
+EOF
+}
+for MAT in $(pick_plans); do
+  NOW=$(date +%s)
+  budget=$((PLAN3_END - NOW))
+  [ "$budget" -gt 2700 ] && budget=2700
+  if [ "$budget" -lt 900 ]; then
+    echo "[r5c] plan $MAT skipped (budget) $(date)" >> $LOG; continue
+  fi
+  echo "[r5c] plan $MAT budget ${budget}s $(date)" >> $LOG
+  timeout "$budget" python scripts/plan_acceptance.py "$MAT" 10 20000 \
+    >> "/tmp/r5c_plan_${MAT}.log" 2>&1
+  rc=$?
+  echo "[r5c] plan $MAT rc=$rc $(date)" >> $LOG
+  [ "$rc" -ne 0 ] && nice -n 19 python scripts/plan_accept_eval.py "$MAT" \
+    >> "/tmp/r5c_plan_${MAT}.log" 2>&1
+  commit_evals
+  bash scripts/tpu_watch.sh >> $LOG 2>&1
+done
+
+# ---- bench compile-cache warm (so the driver's capture hits hot cache) ----
+NOW=$(date +%s)
+if [ "$NOW" -lt "$((HARD3_END - 600))" ]; then
+  budget=$((HARD3_END - NOW - 120)); [ "$budget" -gt 1600 ] && budget=1600
+  echo "[r5c] bench warm budget ${budget}s $(date)" >> $LOG
+  ADAPTIGRAPH_BENCH_DEADLINE=$((budget - 60)) timeout "$budget" \
+    python bench.py >> /tmp/r5c_bench_warm.log 2>&1
+  echo "[r5c] bench warm rc=$? $(date)" >> $LOG
+fi
+
+commit_evals
+bash scripts/tpu_watch.sh >> $LOG 2>&1
+echo "[r5c] ALL DONE $(date)" >> $LOG
