@@ -84,24 +84,26 @@ def make_error_fn(task_config, target_state=None, target_box=None):
         tgt = jnp.asarray(target_state, dtype=jnp.float32)
 
         def err(state, mask=None):
-            return chamfer(state, jnp.tile(tgt[None], (state.shape[0], 1, 1)),
-                           x_mask=mask)
+            # (1, M, 3) broadcasts against (B, N, 3) inside chamfer — no
+            # per-sample tile of the target
+            return chamfer(state, tgt[None], x_mask=mask)
     return err
 
 
-def running_cost(state, action, state_cur, error_func, penalty_func, bbox,
-                 obj_mask=None):
-    """Reward assembly (plan.py:27-59).
-
-    state: (bsz, n_look, N, 3) predicted states; action: (bsz, n_look, 4);
-    state_cur: (N, 3); bbox: (2, 2) workspace box. Returns {'reward_seqs'}."""
+def running_cost_parts(state, action, state_cur, error_func, penalty_func,
+                       bbox, obj_mask=None):
+    """Per-sample raw cost quantities (the population-independent half of the
+    plan.py:27-59 reward assembly). Shapes: state (bsz, n_look, N, 3), action
+    (bsz, n_look, 4), state_cur (N, 3), bbox (2, 2). Returns a dict of (bsz,)
+    arrays; `error_max` is max over look steps (kept separately so the
+    population-wide error_weight normalization in `assemble_reward` matches
+    the unchunked reward exactly even when this runs per lax.map chunk)."""
     bsz, n_look = state.shape[0], state.shape[1]
     flat = state.reshape(bsz * n_look, state.shape[2], 3)
     mask_flat = None
     if obj_mask is not None:
         mask_flat = jnp.tile(obj_mask[None], (bsz * n_look, 1))
     error = error_func(flat, mask_flat).reshape(bsz, n_look)
-    error_weight = 2.0 / (jnp.max(error) + 1e-6)
 
     collision = penalty_func(state, action, state_cur)
 
@@ -124,6 +126,64 @@ def running_cost(state, action, state_cur, error_func, penalty_func, bbox,
     ], axis=-1)
     box_pen = jnp.exp(-box_pen * 100.0).max(axis=-1)
 
-    reward = (-error_weight * error[:, -1] - 5.0 * collision.mean(axis=1)
-              - 5.0 * box_pen.mean(axis=1))
-    return {"reward_seqs": reward, "error_seqs": error[:, -1]}
+    return {"error": error[:, -1],
+            "error_max": jnp.max(error, axis=1),
+            "collision": collision.mean(axis=1),
+            "box_pen": box_pen.mean(axis=1)}
+
+
+def assemble_reward(parts):
+    """Population-wide reward from per-sample parts: the 2/max(error) weight
+    self-normalizes over the WHOLE population (plan.py:44), so it must be
+    applied after all chunks land."""
+    error_weight = 2.0 / (jnp.max(parts["error_max"]) + 1e-6)
+    reward = (-error_weight * parts["error"] - 5.0 * parts["collision"]
+              - 5.0 * parts["box_pen"])
+    return {"reward_seqs": reward, "error_seqs": parts["error"]}
+
+
+def running_cost(state, action, state_cur, error_func, penalty_func, bbox,
+                 obj_mask=None):
+    """Reward assembly (plan.py:27-59).
+
+    state: (bsz, n_look, N, 3) predicted states; action: (bsz, n_look, 4);
+    state_cur: (N, 3); bbox: (2, 2) workspace box. Returns {'reward_seqs'}."""
+    return assemble_reward(running_cost_parts(
+        state, action, state_cur, error_func, penalty_func, bbox,
+        obj_mask=obj_mask))
+
+
+def chunked_cost(state, action, state_cur, error_func, penalty_func, bbox,
+                 obj_mask=None, n_chunk=0):
+    """`running_cost` with the sample axis bounded by lax.map chunking.
+
+    With a pcd target the chamfer distance materializes a
+    (bsz*n_look, N, M) block — at the planner's 20k population x
+    max_nobj 200 x ~400-point recorded target that is ~18 GB and
+    compile-OOMs v5e HBM (r5f rope acceptance post-mortem). Mirrors the
+    rollout-side `n_sample_chunk` bound in forward_dynamics.py: pad the
+    population to the chunk multiple, lax.map `running_cost_parts` over
+    chunk-size sub-batches (peak = one chunk), then apply the population-
+    wide error_weight normalization globally so rewards are bit-comparable
+    with the unchunked path."""
+    s = state.shape[0]
+    if not n_chunk or s <= n_chunk:
+        return running_cost(state, action, state_cur, error_func,
+                            penalty_func, bbox, obj_mask=obj_mask)
+    import jax
+
+    pad = (-s) % n_chunk
+    k = (s + pad) // n_chunk
+
+    def resh(x):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.tile(x[:1], (pad,) + (1,) * (x.ndim - 1))], axis=0)
+        return x.reshape((k, n_chunk) + x.shape[1:])
+
+    parts = jax.lax.map(
+        lambda ab: running_cost_parts(ab[0], ab[1], state_cur, error_func,
+                                      penalty_func, bbox, obj_mask=obj_mask),
+        (resh(state), resh(action)))
+    parts = {kk: v.reshape(-1)[:s] for kk, v in parts.items()}
+    return assemble_reward(parts)
