@@ -35,6 +35,17 @@ class PhysicsParamOnlineOptimizer:
         self.material_dims = task_config["material_dims"]
         self.dim = int(self.material_dims[material])
         self.physics_param = {material: np.full(self.dim, 0.5, np.float32)}
+        # resume semantics: a save_dir that already holds ppo_*.npz refits
+        # (a prior exploration stage, or a plan --resume) seeds the estimate
+        # from the LATEST one instead of silently resetting to the 0.5 prior
+        ppo_files = sorted(
+            glob.glob(os.path.join(save_dir, "ppo_*.npz")),
+            key=lambda p: int(os.path.basename(p)[4:-4]))
+        if ppo_files:
+            est = np.asarray(np.load(ppo_files[-1])["physics_param"],
+                             np.float32).reshape(-1)
+            if est.size == self.dim:
+                self.physics_param[material] = np.clip(est, -0.2, 1.2)
         self.replay = make_masked_replay(model, task_config)
 
     # ---------- logging ----------

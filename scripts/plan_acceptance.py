@@ -216,10 +216,51 @@ tc["bbox"] = [cpx - half_ws, bb[1], cpz - half_ws,
 print(f"workspace bbox (real units, recentred): "
       f"{np.round(tc['bbox'], 4).tolist()}", flush=True)
 
+# stale artifacts from a previous run in SAVE would corrupt the interaction
+# index (resume counts interaction_*.npz) and the PPO seed (the optimizer
+# resumes from the latest ppo_*.npz)
+import glob as _glob
+
+for _f in (_glob.glob(os.path.join(SAVE, "interaction_*.npz"))
+           + _glob.glob(os.path.join(SAVE, "ppo_*.npz"))
+           + _glob.glob(os.path.join(SAVE, "stats.txt"))):
+    os.remove(_f)
+
+# Exploration-interaction PPO priming (reference random_interact stage,
+# src/planning/random_interact.py feeding plan.py's PPO): the closed-loop
+# planner picks gentle goal-directed pushes whose replay error is weakly
+# param-identifiable — the r5g rope run's per-interaction landscapes bottom
+# at the 0.5 prior for small pushes but near the true param for the one
+# bulk-sweep push (disp 0.45). 'change'-mode MPPI maximizes predicted state
+# change, i.e. exactly bulk sweeps; run K of them first, let the online PPO
+# refit over them, reset to the episode seed, then plan (resume=True
+# continues the interaction index; the optimizer seeds from the last refit).
+N_EXPLORE = int(os.environ.get("PLAN_EXPLORE", "0"))
+if N_EXPLORE and MATERIAL != "cloth":  # cloth's grasp replay is already
+    # identifiable (r5g: online PPO tracked true 0.180 within ~0.02 from
+    # the first actions); priming is a push-material (rope/granular) need
+    import copy as _copy
+
+    print(f"[{time.time()-t0:.0f}s] exploration PPO priming "
+          f"({N_EXPLORE} change-mode actions x {N_SAMPLE} samples)", flush=True)
+    tce = _copy.deepcopy(tc)
+    plan(tce, env, SAVE, use_ppo=True, n_actions=N_EXPLORE,
+         n_sample=N_SAMPLE, n_update_iter=2, seed=SEED + 1,
+         reward_mode="change")
+    env.env.reset(seed=SEED)
+    # the explore plan() wrote change-mode rows into stats.txt; drop them so
+    # a kill before the first goal-directed action can't feed change-mode
+    # rewards to plan_accept_eval as if they were chamfer errors (the
+    # interaction_/ppo_ files stay — the offline refit needs them)
+    _stats = os.path.join(SAVE, "stats.txt")
+    os.path.exists(_stats) and os.remove(_stats)
+
 print(f"[{time.time()-t0:.0f}s] env ready; planning "
       f"({N_ACTIONS} actions x {N_SAMPLE} samples)", flush=True)
-stats = plan(tc, env, SAVE, use_ppo=True, n_actions=N_ACTIONS,
-             n_sample=N_SAMPLE, n_update_iter=3, seed=SEED)
+stats = plan(tc, env, SAVE, use_ppo=True,
+             n_actions=N_ACTIONS + (N_EXPLORE if MATERIAL != "cloth" else 0),
+             n_sample=N_SAMPLE, n_update_iter=3, seed=SEED,
+             resume=bool(N_EXPLORE and MATERIAL != "cloth"))
 stats = np.asarray(stats)
 errors = stats[:, 2]
 
