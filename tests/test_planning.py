@@ -364,6 +364,34 @@ class TestPPORecovery:
         assert err < err0, f"replay error must decrease: {err0} -> {err}"
         assert abs(float(p_est[0]) - true_p) < 0.15, (p_est, true_p)
 
+    def test_ppo_seeds_from_latest_refit(self, tmp_path):
+        """A save_dir holding prior ppo_*.npz refits (an exploration-priming
+        stage, or a plan --resume) must seed the optimizer's estimate from
+        the LATEST one — numeric order, not lexicographic — instead of
+        resetting to the 0.5 prior (scripts/plan_acceptance.py PLAN_EXPLORE
+        relies on this handoff)."""
+        from adaptigraph_tpu.dynamics.model import DynamicsPredictor, ModelConfig
+        from adaptigraph_tpu.planning.physics_optimizer import (
+            PhysicsParamOnlineOptimizer)
+
+        task = {
+            "pusher_points": [[0.0, 0.0, 0.1]], "sim_real_ratio": 10,
+            "push_length": 0.2, "adj_thresh": 0.5, "topk": 5,
+            "connect_tools_all": False, "max_nR": 200, "n_his": 4,
+            "gripper_enable": False, "max_nobj": 24,
+            "material_dims": {"rope": 1},
+            "action_lower_lim": [-4.5, -2.5, -3.14, 2],
+            "action_upper_lim": [0.0, 4.5, 3.14, 4],
+        }
+        for i, v in [(2, 0.31), (10, 0.87)]:  # ppo_10 after ppo_2 numerically
+            np.savez(tmp_path / f"ppo_{i}.npz",
+                     physics_param=np.array([v], np.float32))
+        model = DynamicsPredictor(ModelConfig(n_his=4, nf=16, pstep=1))
+        ppm = PhysicsParamOnlineOptimizer(task, model, {}, "rope",
+                                          str(tmp_path))
+        np.testing.assert_allclose(ppm.physics_param["rope"], [0.87],
+                                   atol=1e-6)
+
 
 class TestClothGripperPlan:
     def test_gripper_task_config_rollout(self):
