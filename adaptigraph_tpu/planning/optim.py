@@ -106,7 +106,15 @@ def gp_minimize_ei(func, bounds, n_calls: int = 50, n_initial: int = 20,
     def sample(n):
         return rng.uniform(bounds[:, 0], bounds[:, 1], size=(n, dim))
 
-    xs = list(sample(min(n_initial, n_calls)))
+    n_init = min(n_initial, n_calls)
+    if dim == 1:
+        # deterministic uniform-grid warmup: in 1-D a grid guarantees an
+        # observation within half a grid step of the argmin, which random
+        # warmup does not (r5h rope refit: random warmup + a flat posterior
+        # left expected_x 0.23 away from the landscape argmin)
+        xs = list(np.linspace(bounds[0, 0], bounds[0, 1], n_init)[:, None])
+    else:
+        xs = list(sample(n_init))
     ys = [float(func(x)) for x in xs]
 
     gp = GaussianProcess(length_scale=1.0, noise=noise_level**2)

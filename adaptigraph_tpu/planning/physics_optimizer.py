@@ -105,14 +105,29 @@ class PhysicsParamOnlineOptimizer:
             res = gp_minimize_ei(obj, [(-0.2, 1.2)] * self.dim, n_calls=iterations,
                                  n_initial=min(20, iterations),
                                  noise_level=0.2 * init_error + 1e-6)
-            ppm = np.atleast_1d(res["expected_x"]).astype(np.float32)
+            # pick by ACTUAL replay error, not the GP posterior alone: on a
+            # flat/noisy posterior the reference's expected_minimum
+            # (physics_param_optimizer.py:105-108) can return a point worse
+            # than the best observation (r5h rope refit regressed 0.2247 ->
+            # 0.2272 this way). The objective is deterministic here, so the
+            # best observed value is exact and costs nothing to keep.
+            exp_x = np.atleast_1d(res["expected_x"]).astype(np.float32)
+            cands = [(exp_x, float(obj(exp_x))),
+                     (np.atleast_1d(res["x"]).astype(np.float32),
+                      float(res["fun"]))]
+            ppm, error = min(cands, key=lambda c: c[1])
         else:
             es = CMAES(self.physics_param[self.material].astype(np.float64),
                        sigma=0.2, bounds=(-0.2, 1.2))
-            ppm, _ = es.optimize(obj, iterations=max(1, iterations // es.lam))
+            ppm, error = es.optimize(obj, iterations=max(1, iterations // es.lam))
             ppm = np.asarray(ppm, np.float32)
 
-        error = self.dynamics_error(ppm, acts, inits, reals)
+        if error > init_error:
+            # never regress the incumbent estimate: the optimizer found
+            # nothing better than where the estimate already sits
+            ppm = np.asarray(self.physics_param[self.material],
+                             np.float32).copy()
+            error = init_error
         print(f"new physics param {ppm} (error {error:.5f})")
         self.physics_param[self.material] = np.clip(ppm, -0.2, 1.2)
         np.savez(os.path.join(self.save_dir, f"ppo_{i}.npz"),

@@ -71,6 +71,28 @@ class TestOptim:
         assert abs(res["expected_x"][0] - 0.37) < 0.05
         assert res["fun"] < 0.01
 
+    def test_gp_ei_1d_warmup_is_grid(self):
+        """1-D warmup must be a deterministic uniform grid: it guarantees an
+        observation within half a grid step of the argmin, where the random
+        warmup missed a narrow basin entirely (r5h rope refit)."""
+        seen = []
+        f = lambda x: (seen.append(float(x[0])), float(x[0] ** 2))[1]
+        gp_minimize_ei(f, [(-0.2, 1.2)], n_calls=10, n_initial=10,
+                       noise_level=1e-4, random_state=0)
+        np.testing.assert_allclose(sorted(seen), np.linspace(-0.2, 1.2, 10),
+                                   atol=1e-12)
+
+    def test_gp_ei_best_observed_beats_flat_posterior(self):
+        """On a flat landscape with one narrow dip, the best OBSERVED point
+        carries the signal even when the smoothed posterior mean is flat —
+        res['x']/res['fun'] must report it exactly (physics_optimizer's
+        final pick relies on this)."""
+        f = lambda x: float(-1.0 if abs(x[0] - 0.2556) < 0.08 else 0.0)
+        res = gp_minimize_ei(f, [(-0.2, 1.2)], n_calls=12, n_initial=12,
+                             noise_level=1e-2, random_state=0)
+        assert res["fun"] == -1.0
+        assert abs(res["x"][0] - 0.2556) < 0.08
+
     def test_cmaes_minimizes_quadratic(self):
         f = lambda x: float(np.sum((x - np.array([0.3, -0.1])) ** 2))
         es = CMAES([0.5, 0.5], sigma=0.2, bounds=(-0.2, 1.2), seed=1)
@@ -391,6 +413,26 @@ class TestPPORecovery:
                                           str(tmp_path))
         np.testing.assert_allclose(ppm.physics_param["rope"], [0.87],
                                    atol=1e-6)
+
+    def test_ppo_never_regresses_incumbent(self, tmp_path):
+        """optimize() must never move the estimate to a param with HIGHER
+        replay error than the incumbent's: the GP's expected_minimum on a
+        flat posterior did exactly that in the r5h rope refit (0.2247 ->
+        0.2272). Objective here is minimized at the incumbent 0.4, which
+        lies off the 7-point warmup grid, so every candidate is worse."""
+        from adaptigraph_tpu.planning.physics_optimizer import (
+            PhysicsParamOnlineOptimizer)
+
+        ppm = object.__new__(PhysicsParamOnlineOptimizer)
+        ppm.material, ppm.dim = "rope", 1
+        ppm.physics_param = {"rope": np.array([0.4], np.float32)}
+        ppm.save_dir = str(tmp_path)
+        ppm._load_interactions = lambda: ([0] * 3, [0] * 3, [0] * 3)
+        ppm.dynamics_error = lambda p, a, i, r: 1.0 + 0.1 * abs(
+            float(np.atleast_1d(p)[0]) - 0.4)
+        p_est, err, err0 = ppm.optimize(2, iterations=7)
+        np.testing.assert_allclose(p_est, [0.4], atol=1e-7)
+        assert err == err0 and abs(err0 - 1.0) < 1e-8
 
 
 class TestClothGripperPlan:
