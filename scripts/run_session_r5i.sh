@@ -53,8 +53,12 @@ left=$((HARD_END - NOW))
 if [ "$left" -gt 1500 ]; then
   echo "[r5i] rope acceptance retry, ${left}s budget $(date)" >> $LOG
   rm -rf data/plan_rope_r5i
+  # stall_min 40: the cloth acceptance was watchdog-killed HEALTHY at 40m
+  # (tunnel-wait-bound host process never accrues 30 ticks/min); the outer
+  # timeout already bounds this phase, and a false kill costs the whole
+  # retry while plan_accept_eval can assemble a partial either way
   PLAN_EXPLORE=8 PLAN_SAVE_DIR=/root/repo/data/plan_rope_r5i \
-    run_watched 25 timeout "$left" \
+    run_watched 40 timeout "$left" \
     python scripts/plan_acceptance.py rope 10 20000 \
     >> /tmp/r5i_plan_rope.log 2>&1
   rc=$?
@@ -75,10 +79,11 @@ if new.get("error_decreased") and better_gap and new.get("n_actions_executed", 0
     shutil.rmtree("data/plan_rope_old_r5h", ignore_errors=True)
     shutil.copytree("data/plan_rope", "data/plan_rope_old_r5h")
     for f in os.listdir("data/plan_rope"):
-        os.remove(os.path.join("data/plan_rope", f))
+        p = os.path.join("data/plan_rope", f)
+        os.path.isfile(p) and os.remove(p)
     for f in os.listdir("data/plan_rope_r5i"):
-        shutil.copy(os.path.join("data/plan_rope_r5i", f),
-                    os.path.join("data/plan_rope", f))
+        p = os.path.join("data/plan_rope_r5i", f)
+        os.path.isfile(p) and shutil.copy(p, os.path.join("data/plan_rope", f))
     print(f"[r5i] PROMOTED retry: gap {cur.get('ppo_abs_gap')} -> {new['ppo_abs_gap']}")
 else:
     print(f"[r5i] retry not better (decreased={new.get('error_decreased')} "
